@@ -1,0 +1,76 @@
+"""Gather-based texture sampling from the flat atlas.
+
+TPU-native replacement for the reference's pointer-based samplers
+(driver.c:31-93): texture k lives at texels[offset[k] : offset[k]+w*h] in
+row-major order; every sample is a flat gather, batched over the ray arena.
+
+Wrap semantics match the reference: repeat wrap including the negative-UV
+fixup (driver.c:32-37/51-56), bilinear clamps the +1 texel at the image edge
+(driver.c:66-67), u8 -> f32 conversion divides by 255.999 (driver.c:43-45).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _wrap01(x):
+    """Repeat wrap: the reference's negative fixup + fract collapses to
+    x - floor(x) (driver.c:32-38)."""
+    return x - jnp.floor(x)
+
+
+def _fetch(atlas, off, w, x, y):
+    """Flat gather of texel (x, y) -> f32 rgb in [0, 1]."""
+    idx = off + y * w + x
+    rgb = atlas.texels[idx]
+    return rgb.astype(jnp.float32) * (1.0 / 255.999)
+
+
+def sample_nearest(atlas, tex_id, uv):
+    """sample_texture_nearest (driver.c:31-47). tex_id: (R,) i32 (clamped to
+    0 for 'no texture' lanes; callers select on tex_id >= 0)."""
+    tid = jnp.maximum(tex_id, 0)
+    off = atlas.offset[tid]
+    w = atlas.width[tid]
+    h = atlas.height[tid]
+
+    u = _wrap01(uv[..., 0])
+    v = _wrap01(uv[..., 1])
+    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    return _fetch(atlas, off, w, x, y)
+
+
+def sample_bilinear(atlas, tex_id, uv):
+    """sample_texture_bilinear (driver.c:49-93); the pipeline default
+    (driver.c:14)."""
+    tid = jnp.maximum(tex_id, 0)
+    off = atlas.offset[tid]
+    w = atlas.width[tid]
+    h = atlas.height[tid]
+
+    px = _wrap01(uv[..., 0]) * w
+    py = _wrap01(uv[..., 1]) * h
+    x0 = jnp.clip(px.astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(py.astype(jnp.int32), 0, h - 1)
+    a = (px - x0)[..., None]
+    b = (py - y0)[..., None]
+    # edge clamp of the +1 texel (driver.c:66-67)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+
+    c00 = _fetch(atlas, off, w, x0, y0)
+    c10 = _fetch(atlas, off, w, x1, y0)
+    c01 = _fetch(atlas, off, w, x0, y1)
+    c11 = _fetch(atlas, off, w, x1, y1)
+
+    c0 = c00 * (1.0 - a) + c10 * a
+    c1 = c01 * (1.0 - a) + c11 * a
+    return c0 * (1.0 - b) + c1 * b
+
+
+def sample(atlas, tex_id, uv, mode: str = "bilinear"):
+    if mode == "nearest":
+        return sample_nearest(atlas, tex_id, uv)
+    return sample_bilinear(atlas, tex_id, uv)
