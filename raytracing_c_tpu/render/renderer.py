@@ -1,0 +1,168 @@
+"""Batched tile renderer.
+
+The reference's thread/chunk execution model (render_thread_proc,
+raytracer.c:596-720: 32x32 chunks pulled from an atomic counter by N threads)
+becomes: the image is cut into flat pixel mega-batches; each batch renders as
+ONE jitted device program over a ray arena of (pixels x spp) rays; batches
+are optionally sharded across a `jax.sharding.Mesh` (chunks -> shards,
+SURVEY §2.11). No atomics — accumulation is a reshape+mean per pixel.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracing_c_tpu.render import camera as camera_mod
+from raytracing_c_tpu.render import integrator
+from raytracing_c_tpu.utils import color
+
+
+@dataclass
+class RenderStats:
+    """Phase timers + throughput, mirroring the reference's -V metrics
+    (driver.c:776-836): BVH build ms, render ms, samples/s — plus Mrays/s
+    (BASELINE.md measurement note: rays = samples x bounces actually cast)."""
+
+    wall_ms: float = 0.0
+    samples: int = 0
+    rays_traced: int = 0
+    batches: int = 0
+    compile_ms: float = 0.0
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def samples_per_sec(self) -> float:
+        return self.samples / max(self.wall_ms / 1e3, 1e-9)
+
+    @property
+    def mrays_per_sec(self) -> float:
+        return self.rays_traced / 1e6 / max(self.wall_ms / 1e3, 1e-9)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "max_bounces", "use_bvh", "texture_mode",
+    ),
+)
+def render_batch(
+    scene, px, py, key, *, width: int, height: int, spp: int,
+    max_bounces: int, use_bvh: bool = True, texture_mode: str = "bilinear",
+):
+    """Render one flat batch of pixels.
+
+    px/py: (P,) i32 pixel coordinates. Returns (rgb_linear (P, 3) f32 mean
+    over spp, rays_traced scalar).
+    """
+    p = px.shape[0]
+    r = p * spp
+
+    # stateless counter-based RNG replaces the reference's time-seeded
+    # thread-local PCG (common.h:13-28, raytracer.c:597): one threefry draw
+    # for raygen jitter + per-bounce material uniforms
+    k_jit, k_mat = jax.random.split(key)
+    jitter = jax.random.uniform(k_jit, (r, 2), jnp.float32)
+    uniforms = jax.random.uniform(k_mat, (r, max_bounces, 4), jnp.float32)
+
+    rpx = jnp.repeat(px, spp)
+    rpy = jnp.repeat(py, spp)
+    origin, direction = camera_mod.generate_rays(
+        scene.camera, width, height, rpx, rpy, jitter
+    )
+
+    radiance, rays = integrator.trace(
+        scene, origin, direction, uniforms, max_bounces,
+        use_bvh=use_bvh, texture_mode=texture_mode,
+    )
+    rgb = radiance.reshape(p, spp, 3).mean(axis=1)
+    return rgb, rays
+
+
+def render(
+    scene,
+    width: int,
+    height: int,
+    spp: int = 16,
+    max_bounces: int = 8,
+    seed: int = 0,
+    batch_pixels: int | None = None,
+    use_bvh: bool | None = None,
+    mesh: "jax.sharding.Mesh | None" = None,
+    progress=None,
+    texture_mode: str = "bilinear",
+):
+    """Render a full image.
+
+    Returns (image u8 (H, W, 3), RenderStats). `use_bvh=None` auto-selects
+    brute force for tiny scenes (the reference's own oracle path,
+    raytracer.c:497-503). `mesh` shards each batch's pixels across devices
+    (scene replicated; per SURVEY §2 the only cross-chip traffic is the final
+    image gather).
+    """
+    if use_bvh is None:
+        use_bvh = scene.triangles.capacity > 64
+
+    n_pixels = width * height
+    if batch_pixels is None:
+        # bound the live ray arena to ~2M rays
+        batch_pixels = max(1, min(n_pixels, (2_097_152 // max(spp, 1))))
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        batch_pixels = max(n_dev, (batch_pixels // n_dev) * n_dev)
+
+    # pad pixel count so every batch has identical shape (one compile)
+    n_batches = (n_pixels + batch_pixels - 1) // batch_pixels
+    xs = np.arange(n_pixels, dtype=np.int32) % width
+    ys = np.arange(n_pixels, dtype=np.int32) // width
+    pad = n_batches * batch_pixels - n_pixels
+    if pad:
+        xs = np.concatenate([xs, np.zeros(pad, np.int32)])
+        ys = np.concatenate([ys, np.zeros(pad, np.int32)])
+
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+        scene = jax.device_put(scene, NamedSharding(mesh, P()))
+
+    key = jax.random.PRNGKey(seed)
+    out = np.zeros((n_pixels + pad, 3), np.float32)
+    rays_total = 0.0
+
+    t0 = time.perf_counter()
+    for b in range(n_batches):
+        sl = slice(b * batch_pixels, (b + 1) * batch_pixels)
+        px = jnp.asarray(xs[sl])
+        py = jnp.asarray(ys[sl])
+        if shard is not None:
+            px = jax.device_put(px, shard)
+            py = jax.device_put(py, shard)
+        rgb, rays = render_batch(
+            scene, px, py, jax.random.fold_in(key, b),
+            width=width, height=height, spp=spp, max_bounces=max_bounces,
+            use_bvh=use_bvh, texture_mode=texture_mode,
+        )
+        out[sl] = np.asarray(rgb)
+        rays_total += float(rays)
+        if progress is not None:
+            progress(b + 1, n_batches)
+    wall_ms = (time.perf_counter() - t0) * 1e3
+
+    linear = out[:n_pixels].reshape(height, width, 3)
+    img = np.asarray(color.encode_u8(jnp.asarray(linear)))
+
+    stats = RenderStats(
+        wall_ms=wall_ms,
+        samples=n_pixels * spp,
+        rays_traced=int(rays_total),
+        batches=n_batches,
+    )
+    return img, stats

@@ -1,18 +1,23 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
 Per SURVEY §4: the same jitted code that runs on TPU runs on the CPU backend
-in CI, which is how we test TPU code without a TPU. Must set env vars before
-jax is imported anywhere.
+in CI, which is how we test TPU code without a TPU. The environment pins
+JAX_PLATFORMS=axon (the TPU tunnel), which env vars can't reliably override —
+jax.config.update can, and must run before any computation.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
