@@ -166,7 +166,7 @@ def main(argv: list[str] | None = None) -> int:
         max_bounces=cfg["max_bounces"],
         seed=cfg["seed"],
         batch_pixels=cfg["batch_pixels"],
-        use_bvh=(False if cfg["brute_force"] else None),
+        method=("brute" if cfg["brute_force"] else "auto"),
         progress=bar,
     )
     bar.finish()

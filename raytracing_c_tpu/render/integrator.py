@@ -74,7 +74,7 @@ def _gather_hit_geometry(scene, origin, direction, hit):
 
 
 def trace(scene, origin, direction, uniforms, max_bounces: int,
-          use_bvh: bool = True, texture_mode: str = "bilinear"):
+          method: str = "topk", texture_mode: str = "bilinear"):
     """Trace a batch of rays to completion.
 
     origin/direction: (R, 3); uniforms: (R, max_bounces, 4) pre-drawn
@@ -101,7 +101,7 @@ def trace(scene, origin, direction, uniforms, max_bounces: int,
         active = st["active"]
         o, d = st["origin"], st["direction"]
 
-        hit = traverse.intersect_scene(scene, o, d, active, use_bvh=use_bvh)
+        hit = traverse.intersect_scene(scene, o, d, active, method=method)
         rays = st["rays"] + jnp.sum(active).astype(jnp.float32)
 
         is_hit = active & jnp.isfinite(hit["t"])

@@ -48,12 +48,12 @@ class RenderStats:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "spp", "max_bounces", "use_bvh", "texture_mode",
+        "width", "height", "spp", "max_bounces", "method", "texture_mode",
     ),
 )
 def render_batch(
     scene, px, py, key, *, width: int, height: int, spp: int,
-    max_bounces: int, use_bvh: bool = True, texture_mode: str = "bilinear",
+    max_bounces: int, method: str = "topk", texture_mode: str = "bilinear",
 ):
     """Render one flat batch of pixels.
 
@@ -78,7 +78,7 @@ def render_batch(
 
     radiance, rays = integrator.trace(
         scene, origin, direction, uniforms, max_bounces,
-        use_bvh=use_bvh, texture_mode=texture_mode,
+        method=method, texture_mode=texture_mode,
     )
     rgb = radiance.reshape(p, spp, 3).mean(axis=1)
     return rgb, rays
@@ -92,21 +92,22 @@ def render(
     max_bounces: int = 8,
     seed: int = 0,
     batch_pixels: int | None = None,
-    use_bvh: bool | None = None,
+    method: str = "auto",
     mesh: "jax.sharding.Mesh | None" = None,
     progress=None,
     texture_mode: str = "bilinear",
 ):
     """Render a full image.
 
-    Returns (image u8 (H, W, 3), RenderStats). `use_bvh=None` auto-selects
-    brute force for tiny scenes (the reference's own oracle path,
-    raytracer.c:497-503). `mesh` shards each batch's pixels across devices
+    Returns (image u8 (H, W, 3), RenderStats). method="auto" picks the
+    brute-force oracle for tiny scenes (the reference's own `#if 0` path,
+    raytracer.c:497-503) and the dense top-k traversal otherwise; "dfs"
+    forces the exact ordered-DFS path. `mesh` shards batch pixels across devices
     (scene replicated; per SURVEY §2 the only cross-chip traffic is the final
     image gather).
     """
-    if use_bvh is None:
-        use_bvh = scene.triangles.capacity > 64
+    if method == "auto":
+        method = "topk" if scene.triangles.capacity > 64 else "brute"
 
     n_pixels = width * height
     if batch_pixels is None:
@@ -148,7 +149,7 @@ def render(
         rgb, rays = render_batch(
             scene, px, py, jax.random.fold_in(key, b),
             width=width, height=height, spp=spp, max_bounces=max_bounces,
-            use_bvh=use_bvh, texture_mode=texture_mode,
+            method=method, texture_mode=texture_mode,
         )
         out[sl] = np.asarray(rgb)
         rays_total += float(rays)

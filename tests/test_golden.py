@@ -1,0 +1,62 @@
+"""Golden-image regression tests (SURVEY §4: golden renders at fixed seeds
+with PSNR thresholds gate every change; the Pallas traversal kernel must
+reproduce these within tolerance)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from raytracing_c_tpu.io.loader import load_scene
+from raytracing_c_tpu.render.renderer import render
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+MODELS = "/root/reference/models"
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return np.inf
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def _render_case(model: str, size: int, spp: int, bounces: int):
+    scene = load_scene(
+        f"{MODELS}/{model}", background_path=None, warn=lambda *a: None
+    )
+    img, _ = render(
+        scene, size, size, spp=spp, max_bounces=bounces, seed=42
+    )
+    return img
+
+
+CASES = {
+    "quad": ("quad.obj", 48, 2, 2),
+    "fov_test": ("fov_test.obj", 64, 2, 3),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_golden(name):
+    img = _render_case(*CASES[name])
+    path = os.path.join(GOLDEN_DIR, f"{name}.npy")
+    if not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.save(path, img)
+        pytest.skip(f"golden {name} created; rerun to compare")
+    golden = np.load(path)
+    p = psnr(img, golden)
+    # identical seeds/algorithm should be bit-exact on one platform; allow
+    # cross-backend drift down to 45 dB
+    assert p >= 45.0, f"PSNR {p:.1f} dB vs golden {name}"
+
+
+def test_fov_test_structure():
+    """fov_test is the camera/FOV validation scene (SURVEY §4): the cube
+    staircase must land in the right image quadrants."""
+    img = _render_case("fov_test.obj", 64, 2, 2).astype(np.float64)
+    # scene renders against the constant sky; cubes darken their quadrants
+    sky = img[0, 32].sum()  # top-center is sky
+    center = img[32, 32].sum()
+    assert center < sky  # geometry covers the image center

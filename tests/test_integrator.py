@@ -12,14 +12,14 @@ from helpers import quad_mesh, simple_scene
 BG = (0.25, 0.5, 0.75)
 
 
-def _trace(scene, origins, dirs, bounces=4, seed=0, use_bvh=False):
+def _trace(scene, origins, dirs, bounces=4, seed=0, method="brute"):
     r = len(origins)
     uni = jax.random.uniform(jax.random.PRNGKey(seed), (r, bounces, 4))
     rad, rays = integrator.trace(
         scene,
         jnp.asarray(origins, jnp.float32),
         jnp.asarray(dirs, jnp.float32),
-        uni, bounces, use_bvh=use_bvh,
+        uni, bounces, method=method,
     )
     return np.asarray(rad), float(rays)
 
