@@ -36,8 +36,10 @@ py = jnp.asarray(ys)
 
 key = jax.random.PRNGKey(0)
 t0 = time.time()
+METHOD = sys.argv[5] if len(sys.argv) > 5 else "topk"
 rgb, rays = render_batch(
-    scene, px, py, key, width=W, height=H, spp=SPP, max_bounces=BOUNCES
+    scene, px, py, key, width=W, height=H, spp=SPP, max_bounces=BOUNCES,
+    method=METHOD,
 )
 jax.block_until_ready(rgb)
 print("first call:", round(time.time() - t0, 2), "s")
@@ -47,6 +49,7 @@ for i in range(3):
     rgb, rays = render_batch(
         scene, px, py, jax.random.PRNGKey(i + 1),
         width=W, height=H, spp=SPP, max_bounces=BOUNCES,
+        method=METHOD,
     )
     jax.block_until_ready(rgb)
     dt = time.time() - t0
