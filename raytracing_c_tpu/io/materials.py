@@ -18,6 +18,7 @@ from raytracing_c_tpu.models.scene import (
     MaterialTable,
     TextureAtlas,
 )
+from raytracing_c_tpu.utils.vec3 import Vec3
 
 
 class AtlasBuilder:
@@ -54,8 +55,11 @@ class AtlasBuilder:
             heights.append(h)
             flats.append(img.reshape(-1, 3))
             off += w * h
+        texels = np.concatenate(flats, axis=0)
         return TextureAtlas(
-            texels=jnp.asarray(np.concatenate(flats, axis=0)),
+            tex_r=jnp.asarray(np.ascontiguousarray(texels[:, 0])),
+            tex_g=jnp.asarray(np.ascontiguousarray(texels[:, 1])),
+            tex_b=jnp.asarray(np.ascontiguousarray(texels[:, 2])),
             offset=jnp.asarray(np.array(offsets, np.int32)),
             width=jnp.asarray(np.array(widths, np.int32)),
             height=jnp.asarray(np.array(heights, np.int32)),
@@ -87,9 +91,18 @@ def build_material_table(mats: list[HostMaterial]) -> MaterialTable:
     if not mats:
         mats = [HostMaterial()]
     f32 = np.float32
+
+    def vec(field):
+        a = np.array([getattr(m, field) for m in mats], f32)
+        return Vec3(
+            x=jnp.asarray(np.ascontiguousarray(a[:, 0])),
+            y=jnp.asarray(np.ascontiguousarray(a[:, 1])),
+            z=jnp.asarray(np.ascontiguousarray(a[:, 2])),
+        )
+
     return MaterialTable(
-        base_color=jnp.asarray(np.array([m.base_color for m in mats], f32)),
-        emission=jnp.asarray(np.array([m.emission for m in mats], f32)),
+        base_color=vec("base_color"),
+        emission=vec("emission"),
         roughness=jnp.asarray(np.array([m.roughness for m in mats], f32)),
         metalness=jnp.asarray(np.array([m.metalness for m in mats], f32)),
         normal_strength=jnp.asarray(

@@ -91,10 +91,15 @@ def build_bvh(mesh: HostMesh):
             centroids, tri_min, tri_max, mins, maxs, slot_map,
         )
 
+    # plane table: rows = component * 8 + child for (min.xyz, max.xyz) —
+    # traversal gathers (48, K, R) batch-minor slices (see models/scene.py)
+    nodes = np.concatenate(
+        [mins.transpose(2, 1, 0), maxs.transpose(2, 1, 0)], axis=0
+    ).reshape(6 * W, n_internal)
+
     return (
         BVH(
-            mins=jnp.asarray(mins),
-            maxs=jnp.asarray(maxs),
+            nodes=jnp.asarray(np.ascontiguousarray(nodes)),
             depth=depth,
             last_row_offset=n_internal,
         ),

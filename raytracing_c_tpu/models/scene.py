@@ -1,21 +1,26 @@
-"""Device-resident scene representation.
+"""Device-resident scene representation — component-plane (SoA) layouts.
 
 The reference stores the scene as SoA triangle arrays plus an implicit
 complete 8-ary BVH (scene.h:44-97). That layout was designed for 8-wide SIMD
-and maps directly onto TPU-resident jnp arrays, so we keep it:
+and it is ALSO the right layout for TPU, for a sharper reason: a (N, 3)
+array tiles as T(8,128) with the minor dim padded 3 -> 128 lanes (42x
+memory/bandwidth waste), so every hot vector quantity here is a `Vec3` of
+three separate planes whose minor dimension is the batch (see
+utils/vec3.py). This is the direct analog of the reference's
+`x[3]/y[3]/z[3]` arrays (scene.h:54-60) and Vec3x8 registers.
 
-- `Triangles`: flat padded arrays, leaf-block-major (block b owns triangles
-  [8b, 8b+8)), mirroring `triangles_init`/`triangles_insert` (scene.c:78-155).
-- `BVH`: internal nodes only; node i's children are `8*i + 1 + j`; children
-  with index >= `last_row_offset` are leaf blocks at
-  `(child - last_row_offset)` (scene.h:72-90, raytracer.c:474-476).
-- The reference's per-triangle function-pointer `Shader` (scene.h:30-42)
-  becomes a per-triangle `mat_id` into a `MaterialTable` (struct-of-arrays),
-  shaded by a single branchless ubershader — no divergence on TPU.
-- Textures live in one flat u8 atlas (`TextureAtlas`), sampled by gather.
+Other mappings:
+- node i's children are `8*i + 1 + j`; children with index >=
+  `last_row_offset` are leaf blocks at `(child - last_row_offset)`
+  (scene.h:72-90, raytracer.c:474-476). Child AABBs live in ONE
+  (48, n_internal) plane table (6 components x 8 children), so a traversal
+  gather yields (48, K, R) — batch-minor, perfectly tiled.
+- the reference's per-triangle function-pointer `Shader` (scene.h:30-42)
+  becomes a per-triangle `mat_id` into a `MaterialTable`, shaded by a single
+  branchless ubershader.
+- textures live in three flat u8 planes (`TextureAtlas`), sampled by gather.
 
-Everything is a pytree (flax.struct) so a `Scene` can be passed through jit /
-shard_map; static ints (tree depth etc.) are pytree aux data.
+Everything is a pytree (flax.struct); static ints are aux data.
 """
 
 from __future__ import annotations
@@ -28,9 +33,10 @@ import numpy as np
 from flax import struct
 
 from raytracing_c_tpu import BVH_WIDTH
+from raytracing_c_tpu.utils.vec3 import Vec3
 
 # Shader kinds (reference: disney_shader_proc driver.c:350, debug_shader_proc
-# driver.c:411; the debug shader renders shading normals and terminates).
+# driver.c:411).
 SHADER_DISNEY = 0
 SHADER_DEBUG_NORMAL = 1
 
@@ -38,14 +44,15 @@ SHADER_DEBUG_NORMAL = 1
 BG_CONSTANT = 0
 BG_EQUIRECT = 1
 
+# Row layout of the BVH node plane table: component-major, child-minor.
+# rows [c*8 + j] for c in (min.x, min.y, min.z, max.x, max.y, max.z), j in 0..7
+NODE_ROWS = 48
+
 
 class Camera(struct.PyTreeNode):
-    """Pinhole camera (reference scene.h:14-17).
-
-    `view_matrix` is camera-to-world: rays are generated in camera space with
-    -Z forward and rotated by the upper-left 3x3; the camera position is the
-    translation column (raytracer.c:612, 653-685).
-    """
+    """Pinhole camera (reference scene.h:14-17). `view_matrix` is
+    camera-to-world; camera position is its translation column
+    (raytracer.c:612)."""
 
     view_matrix: Any  # (4, 4) f32
     fov: Any  # scalar f32 (radians)
@@ -68,70 +75,84 @@ class Camera(struct.PyTreeNode):
 class Triangles(struct.PyTreeNode):
     """Padded SoA triangle store, leaf-block-major (scene.h:44-63).
 
-    `v0/v1/v2` are vertex positions; `e1/e2` are precomputed edges used by the
-    Moller-Trumbore kernel (raytracer.c:115-122 computes them per test; we
-    compute once at build). Padding slots are all-zero, which the epsilon
-    tests naturally reject (SURVEY §3.3).
+    All vector attributes are Vec3 planes of shape (N,). `e1/e2` are the
+    precomputed Moller-Trumbore edges. Padding slots are all-zero, which the
+    epsilon tests naturally reject (SURVEY §3.3).
     """
 
-    v0: Any  # (N, 3) f32
-    v1: Any
-    v2: Any
-    e1: Any  # v1 - v0
-    e2: Any  # v2 - v0
-    n0: Any  # (N, 3) vertex normals
-    n1: Any
-    n2: Any
-    ng: Any  # (N, 3) geometric (face) normal
-    tangent: Any  # (N, 3)
-    bitangent: Any  # (N, 3)
-    uv0: Any  # (N, 2)
-    uv1: Any
-    uv2: Any
+    v0: Vec3
+    e1: Vec3
+    e2: Vec3
+    n0: Vec3
+    n1: Vec3
+    n2: Vec3
+    ng: Vec3  # geometric (face) normal
+    tangent: Vec3
+    bitangent: Vec3
+    uv0u: Any  # (N,) texture coordinates, scalar planes
+    uv0v: Any
+    uv1u: Any
+    uv1v: Any
+    uv2u: Any
+    uv2v: Any
     mat_id: Any  # (N,) i32, -1 for padding slots
 
     @property
     def capacity(self) -> int:
-        return self.v0.shape[0]
+        return self.mat_id.shape[0]
+
+    def v1(self) -> Vec3:
+        return self.v0 + self.e1
+
+    def v2(self) -> Vec3:
+        return self.v0 + self.e2
 
 
 class BVH(struct.PyTreeNode):
-    """Implicit complete 8-ary BVH; internal nodes only (scene.h:72-90)."""
+    """Implicit complete 8-ary BVH; internal nodes only (scene.h:72-90).
 
-    mins: Any  # (n_internal, 8, 3) f32 child AABB minima
-    maxs: Any  # (n_internal, 8, 3) f32
+    `nodes`: (48, n_internal) f32 plane table, rows = component * 8 + child
+    for components (min.x, min.y, min.z, max.x, max.y, max.z).
+    """
+
+    nodes: Any
     depth: int = struct.field(pytree_node=False)
     last_row_offset: int = struct.field(pytree_node=False)
 
     @property
     def n_internal(self) -> int:
-        return self.mins.shape[0]
+        return self.nodes.shape[1]
+
+    def child_boxes_np(self):
+        """(n_internal, 8, 3) mins/maxs as numpy — host-side tooling/tests."""
+        t = np.asarray(self.nodes).reshape(6, 8, -1).transpose(2, 1, 0)
+        return t[..., :3], t[..., 3:]
 
 
 class MaterialTable(struct.PyTreeNode):
     """PBR material parameters, struct-of-arrays (reference PBR_Shader_Data,
     driver.c:191-198). Texture ids index the TextureAtlas; -1 means none."""
 
-    base_color: Any  # (M, 3) f32
-    emission: Any  # (M, 3) f32
+    base_color: Vec3  # (M,) planes
+    emission: Vec3
     roughness: Any  # (M,) f32
-    metalness: Any  # (M,) f32
-    normal_strength: Any  # (M,) f32
-    sheen: Any  # (M,) f32
-    sheen_tint: Any  # (M,) f32
-    anisotropic: Any  # (M,) f32
+    metalness: Any
+    normal_strength: Any
+    sheen: Any
+    sheen_tint: Any
+    anisotropic: Any
     tex_albedo: Any  # (M,) i32
-    tex_normal: Any  # (M,) i32
-    tex_mr: Any  # (M,) i32
-    tex_emission: Any  # (M,) i32
-    shader_kind: Any  # (M,) i32 (SHADER_DISNEY | SHADER_DEBUG_NORMAL)
+    tex_normal: Any
+    tex_mr: Any
+    tex_emission: Any
+    shader_kind: Any  # (M,) i32
 
     @staticmethod
     def default(n: int = 1) -> "MaterialTable":
         """A single mid-grey diffuse material (MTL defaults, driver.c:549-556)."""
         return MaterialTable(
-            base_color=jnp.full((n, 3), 0.8, jnp.float32),
-            emission=jnp.zeros((n, 3), jnp.float32),
+            base_color=Vec3.splat((0.8, 0.8, 0.8), (n,)),
+            emission=Vec3.zeros((n,)),
             roughness=jnp.full((n,), 0.5, jnp.float32),
             metalness=jnp.zeros((n,), jnp.float32),
             normal_strength=jnp.zeros((n,), jnp.float32),
@@ -147,24 +168,27 @@ class MaterialTable(struct.PyTreeNode):
 
 
 class TextureAtlas(struct.PyTreeNode):
-    """All textures packed into one flat u8 texel array.
+    """All textures packed into three flat u8 channel planes.
 
     Texture k owns texels [offset[k], offset[k] + width[k]*height[k]) in
-    row-major order; sampling is a flat gather (the TPU-native replacement
-    for the reference's pointer-chasing samplers, driver.c:31-93).
-    Index 0 is always a 1x1 white dummy so that gathers for "no texture"
-    lanes stay in-bounds.
+    row-major order; sampling is a flat gather per channel (the TPU-native
+    replacement for the reference's pointer-chasing samplers,
+    driver.c:31-93). Index 0 is a 1x1 white dummy so "no texture" lanes
+    gather in-bounds.
     """
 
-    texels: Any  # (T, 3) u8
+    tex_r: Any  # (T,) u8
+    tex_g: Any
+    tex_b: Any
     offset: Any  # (K,) i32
     width: Any  # (K,) i32
     height: Any  # (K,) i32
 
     @staticmethod
     def empty() -> "TextureAtlas":
+        one = jnp.full((1,), 255, jnp.uint8)
         return TextureAtlas(
-            texels=jnp.full((1, 3), 255, jnp.uint8),
+            tex_r=one, tex_g=one, tex_b=one,
             offset=jnp.zeros((1,), jnp.int32),
             width=jnp.ones((1,), jnp.int32),
             height=jnp.ones((1,), jnp.int32),
@@ -172,25 +196,37 @@ class TextureAtlas(struct.PyTreeNode):
 
 
 class Spheres(struct.PyTreeNode):
-    """Analytic sphere primitives (reference raytracer.h:35-42; kept as a
-    first-class primitive per SURVEY §2.8c even though the reference driver
-    never populates it)."""
+    """Analytic sphere primitives (reference raytracer.h:35-42; SURVEY
+    §2.8c)."""
 
-    center: Any  # (S, 3) f32
+    center: Vec3  # (S,) planes
     radius: Any  # (S,) f32
     mat_id: Any  # (S,) i32
 
     @staticmethod
     def empty() -> "Spheres":
         return Spheres(
-            center=jnp.zeros((0, 3), jnp.float32),
+            center=Vec3.zeros((0,)),
             radius=jnp.zeros((0,), jnp.float32),
             mat_id=jnp.zeros((0,), jnp.int32),
         )
 
+    @staticmethod
+    def make(centers, radii, mat_ids) -> "Spheres":
+        c = np.asarray(centers, np.float32).reshape(-1, 3)
+        return Spheres(
+            center=Vec3(
+                x=jnp.asarray(c[:, 0]),
+                y=jnp.asarray(c[:, 1]),
+                z=jnp.asarray(c[:, 2]),
+            ),
+            radius=jnp.asarray(np.asarray(radii, np.float32)),
+            mat_id=jnp.asarray(np.asarray(mat_ids, np.int32)),
+        )
+
     @property
     def count(self) -> int:
-        return self.center.shape[0]
+        return self.radius.shape[0]
 
 
 class Background(struct.PyTreeNode):
@@ -199,28 +235,25 @@ class Background(struct.PyTreeNode):
 
     kind: int = struct.field(pytree_node=False, default=BG_CONSTANT)
     color: Any = None  # (3,) f32 linear, for BG_CONSTANT
-    tex_id: int = struct.field(pytree_node=False, default=-1)  # atlas index
+    tex_id: int = struct.field(pytree_node=False, default=-1)
 
     @staticmethod
     def constant(rgb) -> "Background":
         return Background(
-            kind=BG_CONSTANT,
-            color=jnp.asarray(rgb, jnp.float32),
-            tex_id=-1,
+            kind=BG_CONSTANT, color=jnp.asarray(rgb, jnp.float32), tex_id=-1
         )
 
     @staticmethod
     def equirect(tex_id: int) -> "Background":
         return Background(
-            kind=BG_EQUIRECT,
-            color=jnp.zeros((3,), jnp.float32),
+            kind=BG_EQUIRECT, color=jnp.zeros((3,), jnp.float32),
             tex_id=tex_id,
         )
 
 
 class Scene(struct.PyTreeNode):
     """Full scene: Scene{bvh, camera, triangles, background} (scene.h:92-97)
-    plus the material/texture tables and optional spheres."""
+    plus material/texture tables and optional spheres."""
 
     triangles: Triangles
     bvh: BVH
@@ -229,7 +262,7 @@ class Scene(struct.PyTreeNode):
     spheres: Spheres
     background: Background
     camera: Camera
-    n_triangles: int = struct.field(pytree_node=False, default=0)  # unpadded
+    n_triangles: int = struct.field(pytree_node=False, default=0)
 
 
 # ---------------------------------------------------------------------------
@@ -284,14 +317,18 @@ def compute_tangents(positions: np.ndarray, uvs: np.ndarray):
     )
 
 
+def _vec3_planes(a: np.ndarray) -> Vec3:
+    """(N, 3) numpy -> Vec3 of (N,) device planes."""
+    return Vec3(
+        x=jnp.asarray(np.ascontiguousarray(a[:, 0])),
+        y=jnp.asarray(np.ascontiguousarray(a[:, 1])),
+        z=jnp.asarray(np.ascontiguousarray(a[:, 2])),
+    )
+
+
 def pack_triangles(mesh: HostMesh, slot_map: np.ndarray) -> Triangles:
     """Pack host triangles into the device SoA layout according to the BVH
-    build's leaf-slot assignment.
-
-    `slot_map` is (capacity,) int with -1 marking empty padding slots; padding
-    slots become all-zero triangles, which the Moller-Trumbore epsilon tests
-    naturally reject (SURVEY §3.3).
-    """
+    build's leaf-slot assignment (-1 = empty padding slot -> all-zero)."""
     capacity = len(slot_map)
     assert capacity % BVH_WIDTH == 0
     valid = slot_map >= 0
@@ -314,20 +351,21 @@ def pack_triangles(mesh: HostMesh, slot_map: np.ndarray) -> Triangles:
 
     v0, v1, v2 = pos[:, 0], pos[:, 1], pos[:, 2]
     return Triangles(
-        v0=jnp.asarray(v0),
-        v1=jnp.asarray(v1),
-        v2=jnp.asarray(v2),
-        e1=jnp.asarray(v1 - v0),
-        e2=jnp.asarray(v2 - v0),
-        n0=jnp.asarray(nrm[:, 0]),
-        n1=jnp.asarray(nrm[:, 1]),
-        n2=jnp.asarray(nrm[:, 2]),
-        ng=jnp.asarray(ng),
-        tangent=jnp.asarray(tan),
-        bitangent=jnp.asarray(btn),
-        uv0=jnp.asarray(uv[:, 0]),
-        uv1=jnp.asarray(uv[:, 1]),
-        uv2=jnp.asarray(uv[:, 2]),
+        v0=_vec3_planes(v0),
+        e1=_vec3_planes(v1 - v0),
+        e2=_vec3_planes(v2 - v0),
+        n0=_vec3_planes(nrm[:, 0]),
+        n1=_vec3_planes(nrm[:, 1]),
+        n2=_vec3_planes(nrm[:, 2]),
+        ng=_vec3_planes(ng),
+        tangent=_vec3_planes(tan),
+        bitangent=_vec3_planes(btn),
+        uv0u=jnp.asarray(np.ascontiguousarray(uv[:, 0, 0])),
+        uv0v=jnp.asarray(np.ascontiguousarray(uv[:, 0, 1])),
+        uv1u=jnp.asarray(np.ascontiguousarray(uv[:, 1, 0])),
+        uv1v=jnp.asarray(np.ascontiguousarray(uv[:, 1, 1])),
+        uv2u=jnp.asarray(np.ascontiguousarray(uv[:, 2, 0])),
+        uv2v=jnp.asarray(np.ascontiguousarray(uv[:, 2, 1])),
         mat_id=jnp.asarray(mat),
     )
 

@@ -2,9 +2,10 @@
 
 Capability parity with scene_save_writer / scene_load_bytes (scene.c:13-76):
 a versioned header {version, n_nodes, n_triangles, bvh_depth, camera} plus
-the raw node and triangle arrays. The container is npz (a golden layout with
-named arrays instead of the reference's zero-copy pointer fixup — device
-arrays get re-uploaded on load anyway, so mmap aliasing buys nothing here).
+the raw node and triangle arrays. The container is npz with one entry per
+component plane (a golden layout with named arrays instead of the
+reference's zero-copy pointer fixup — device arrays get re-uploaded on load
+anyway, so mmap aliasing buys nothing here).
 """
 
 from __future__ import annotations
@@ -22,20 +23,33 @@ from raytracing_c_tpu.models.scene import (
     TextureAtlas,
     Triangles,
 )
+from raytracing_c_tpu.utils.vec3 import Vec3
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: component-plane layout
 
-_TRI_FIELDS = (
-    "v0", "v1", "v2", "e1", "e2", "n0", "n1", "n2", "ng",
-    "tangent", "bitangent", "uv0", "uv1", "uv2", "mat_id",
+_TRI_VEC = ("v0", "e1", "e2", "n0", "n1", "n2", "ng", "tangent", "bitangent")
+_TRI_SCALAR = ("uv0u", "uv0v", "uv1u", "uv1v", "uv2u", "uv2v", "mat_id")
+_MAT_VEC = ("base_color", "emission")
+_MAT_SCALAR = (
+    "roughness", "metalness", "normal_strength", "sheen", "sheen_tint",
+    "anisotropic", "tex_albedo", "tex_normal", "tex_mr", "tex_emission",
+    "shader_kind",
 )
-_MAT_FIELDS = (
-    "base_color", "emission", "roughness", "metalness", "normal_strength",
-    "sheen", "sheen_tint", "anisotropic", "tex_albedo", "tex_normal",
-    "tex_mr", "tex_emission", "shader_kind",
-)
-_ATLAS_FIELDS = ("texels", "offset", "width", "height")
-_SPHERE_FIELDS = ("center", "radius", "mat_id")
+_ATLAS = ("tex_r", "tex_g", "tex_b", "offset", "width", "height")
+
+
+def _save_vec3(data: dict, prefix: str, v: Vec3) -> None:
+    data[f"{prefix}_x"] = np.asarray(v.x)
+    data[f"{prefix}_y"] = np.asarray(v.y)
+    data[f"{prefix}_z"] = np.asarray(v.z)
+
+
+def _load_vec3(z, prefix: str) -> Vec3:
+    return Vec3(
+        x=jnp.asarray(z[f"{prefix}_x"]),
+        y=jnp.asarray(z[f"{prefix}_y"]),
+        z=jnp.asarray(z[f"{prefix}_z"]),
+    )
 
 
 def save_scene_cache(path: str, scene: Scene) -> None:
@@ -55,18 +69,22 @@ def save_scene_cache(path: str, scene: Scene) -> None:
         "camera_view": np.asarray(scene.camera.view_matrix),
         "camera_fov": np.asarray(scene.camera.fov),
         "camera_focal": np.asarray(scene.camera.focal_length),
-        "bvh_mins": np.asarray(scene.bvh.mins),
-        "bvh_maxs": np.asarray(scene.bvh.maxs),
+        "bvh_nodes": np.asarray(scene.bvh.nodes),
         "bg_color": np.asarray(scene.background.color),
+        "sph_radius": np.asarray(scene.spheres.radius),
+        "sph_mat_id": np.asarray(scene.spheres.mat_id),
     }
-    for f in _TRI_FIELDS:
+    for f in _TRI_VEC:
+        _save_vec3(data, f"tri_{f}", getattr(scene.triangles, f))
+    for f in _TRI_SCALAR:
         data[f"tri_{f}"] = np.asarray(getattr(scene.triangles, f))
-    for f in _MAT_FIELDS:
+    for f in _MAT_VEC:
+        _save_vec3(data, f"mat_{f}", getattr(scene.materials, f))
+    for f in _MAT_SCALAR:
         data[f"mat_{f}"] = np.asarray(getattr(scene.materials, f))
-    for f in _ATLAS_FIELDS:
+    for f in _ATLAS:
         data[f"atlas_{f}"] = np.asarray(getattr(scene.atlas, f))
-    for f in _SPHERE_FIELDS:
-        data[f"sph_{f}"] = np.asarray(getattr(scene.spheres, f))
+    _save_vec3(data, "sph_center", scene.spheres.center)
     np.savez_compressed(path, **data)
 
 
@@ -81,17 +99,26 @@ def load_scene_cache(path: str) -> Scene:
     )
 
     bvh = BVH(
-        mins=jnp.asarray(z["bvh_mins"]),
-        maxs=jnp.asarray(z["bvh_maxs"]),
+        nodes=jnp.asarray(z["bvh_nodes"]),
         depth=depth,
         last_row_offset=last_row_offset,
     )
     assert bvh.n_internal == n_nodes
 
-    tris = Triangles(**{f: jnp.asarray(z[f"tri_{f}"]) for f in _TRI_FIELDS})
-    mats = MaterialTable(**{f: jnp.asarray(z[f"mat_{f}"]) for f in _MAT_FIELDS})
-    atlas = TextureAtlas(**{f: jnp.asarray(z[f"atlas_{f}"]) for f in _ATLAS_FIELDS})
-    spheres = Spheres(**{f: jnp.asarray(z[f"sph_{f}"]) for f in _SPHERE_FIELDS})
+    tris = Triangles(
+        **{f: _load_vec3(z, f"tri_{f}") for f in _TRI_VEC},
+        **{f: jnp.asarray(z[f"tri_{f}"]) for f in _TRI_SCALAR},
+    )
+    mats = MaterialTable(
+        **{f: _load_vec3(z, f"mat_{f}") for f in _MAT_VEC},
+        **{f: jnp.asarray(z[f"mat_{f}"]) for f in _MAT_SCALAR},
+    )
+    atlas = TextureAtlas(**{f: jnp.asarray(z[f"atlas_{f}"]) for f in _ATLAS})
+    spheres = Spheres(
+        center=_load_vec3(z, "sph_center"),
+        radius=jnp.asarray(z["sph_radius"]),
+        mat_id=jnp.asarray(z["sph_mat_id"]),
+    )
     camera = Camera(
         view_matrix=jnp.asarray(z["camera_view"]),
         fov=jnp.asarray(z["camera_fov"]),

@@ -1,8 +1,10 @@
-"""Gather-based texture sampling from the flat atlas.
+"""Gather-based texture sampling from the flat channel-plane atlas.
 
 TPU-native replacement for the reference's pointer-based samplers
-(driver.c:31-93): texture k lives at texels[offset[k] : offset[k]+w*h] in
-row-major order; every sample is a flat gather, batched over the ray arena.
+(driver.c:31-93): texture k lives at texels [offset[k], offset[k]+w*h) in
+row-major order across three u8 channel planes; every sample is a flat
+gather per channel, batched over the ray arena (results stay (R,)-shaped —
+no minor-dim-3 padding).
 
 Wrap semantics match the reference: repeat wrap including the negative-UV
 fixup (driver.c:32-37/51-56), bilinear clamps the +1 texel at the image edge
@@ -13,6 +15,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from raytracing_c_tpu.utils.vec3 import Vec3
+
 
 def _wrap01(x):
     """Repeat wrap: the reference's negative fixup + fract collapses to
@@ -20,14 +24,18 @@ def _wrap01(x):
     return x - jnp.floor(x)
 
 
-def _fetch(atlas, off, w, x, y):
-    """Flat gather of texel (x, y) -> f32 rgb in [0, 1]."""
+def _fetch(atlas, off, w, x, y) -> Vec3:
+    """Flat gather of texel (x, y) -> Vec3 rgb in [0, 1]."""
     idx = off + y * w + x
-    rgb = atlas.texels[idx]
-    return rgb.astype(jnp.float32) * (1.0 / 255.999)
+    s = jnp.float32(1.0 / 255.999)
+    return Vec3(
+        x=atlas.tex_r[idx].astype(jnp.float32) * s,
+        y=atlas.tex_g[idx].astype(jnp.float32) * s,
+        z=atlas.tex_b[idx].astype(jnp.float32) * s,
+    )
 
 
-def sample_nearest(atlas, tex_id, uv):
+def sample_nearest(atlas, tex_id, uv_u, uv_v) -> Vec3:
     """sample_texture_nearest (driver.c:31-47). tex_id: (R,) i32 (clamped to
     0 for 'no texture' lanes; callers select on tex_id >= 0)."""
     tid = jnp.maximum(tex_id, 0)
@@ -35,14 +43,14 @@ def sample_nearest(atlas, tex_id, uv):
     w = atlas.width[tid]
     h = atlas.height[tid]
 
-    u = _wrap01(uv[..., 0])
-    v = _wrap01(uv[..., 1])
+    u = _wrap01(uv_u)
+    v = _wrap01(uv_v)
     x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
     return _fetch(atlas, off, w, x, y)
 
 
-def sample_bilinear(atlas, tex_id, uv):
+def sample_bilinear(atlas, tex_id, uv_u, uv_v) -> Vec3:
     """sample_texture_bilinear (driver.c:49-93); the pipeline default
     (driver.c:14)."""
     tid = jnp.maximum(tex_id, 0)
@@ -50,12 +58,12 @@ def sample_bilinear(atlas, tex_id, uv):
     w = atlas.width[tid]
     h = atlas.height[tid]
 
-    px = _wrap01(uv[..., 0]) * w
-    py = _wrap01(uv[..., 1]) * h
+    px = _wrap01(uv_u) * w
+    py = _wrap01(uv_v) * h
     x0 = jnp.clip(px.astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(py.astype(jnp.int32), 0, h - 1)
-    a = (px - x0)[..., None]
-    b = (py - y0)[..., None]
+    a = px - x0
+    b = py - y0
     # edge clamp of the +1 texel (driver.c:66-67)
     x1 = jnp.minimum(x0 + 1, w - 1)
     y1 = jnp.minimum(y0 + 1, h - 1)
@@ -65,12 +73,12 @@ def sample_bilinear(atlas, tex_id, uv):
     c01 = _fetch(atlas, off, w, x0, y1)
     c11 = _fetch(atlas, off, w, x1, y1)
 
-    c0 = c00 * (1.0 - a) + c10 * a
-    c1 = c01 * (1.0 - a) + c11 * a
-    return c0 * (1.0 - b) + c1 * b
+    c0 = c00.lerp(c10, a)
+    c1 = c01.lerp(c11, a)
+    return c0.lerp(c1, b)
 
 
-def sample(atlas, tex_id, uv, mode: str = "bilinear"):
+def sample(atlas, tex_id, uv_u, uv_v, mode: str = "bilinear") -> Vec3:
     if mode == "nearest":
-        return sample_nearest(atlas, tex_id, uv)
-    return sample_bilinear(atlas, tex_id, uv)
+        return sample_nearest(atlas, tex_id, uv_u, uv_v)
+    return sample_bilinear(atlas, tex_id, uv_u, uv_v)

@@ -1,25 +1,18 @@
-"""Batched ordered-DFS BVH traversal.
+"""BVH traversal — component-plane, batch-minor layouts throughout.
 
-The reference's recursive nearest-first traversal (ray_bvh_node_hit,
-raytracer.c:443-483) made iterative and batch-synchronous for XLA:
+Two device implementations of the reference's ordered traversal
+(ray_bvh_node_hit, raytracer.c:443-483), plus the exhaustive oracle:
 
-- Every ray carries a small explicit stack of (entry, distance) pairs.
-  Entries < last_row_offset are internal nodes; entries >= last_row_offset
-  are leaf blocks of 8 triangles (the reference's implicit-index scheme,
-  raytracer.c:474-476).
-- Each loop iteration pops one entry per ray in lockstep (masked). Internal
-  pops slab-test all 8 children at once and push the hits nearest-first
-  (children sorted by entry distance, pushed far-to-near so the nearest pops
-  first — the reference's selection loop, raytracer.c:459-474). Leaf pops
-  run 8 Moller-Trumbore tests and tighten best_t, which prunes stale stack
-  entries at pop time (the `min_distance >= hit->distance` early-out,
-  raytracer.c:470).
-- All rays share the iteration count; finished rays are masked. Rays are
-  fully independent — no cross-ray communication — so this vectorizes over
-  arbitrarily large ray arenas and shards trivially over a device mesh.
+1. `intersect_bvh` — ordered DFS with per-ray stacks, batch-synchronous.
+   Exact but serial in tree steps; it exists as the semantics oracle and the
+   CPU-test reference. Stacks are (S, R): candidate axis leads, rays minor.
 
-This is the exact-traversal reference path; the Pallas packet kernel
-(ops/traverse_pallas.py) must match it bit-for-bit on hit selection.
+2. `intersect_bvh_topk` / `intersect_bvh_verified` — the TPU production
+   path: dense level-synchronous top-k descent (no data-dependent control
+   flow) with provable exactness restoration. See intersect_bvh_verified.
+
+All hot intermediates keep the RAY axis minor: candidates/children/stack
+slots lead, so every array tiles as (8, 128) without lane padding.
 """
 
 from __future__ import annotations
@@ -29,35 +22,67 @@ import jax.numpy as jnp
 
 from raytracing_c_tpu import BVH_WIDTH, EPSILON
 from raytracing_c_tpu.ops import intersect
+from raytracing_c_tpu.utils.vec3 import Vec3
 
 W = BVH_WIDTH
 INF = jnp.float32(jnp.inf)
 
 
-def intersect_bvh(origin, direction, triangles, bvh, active=None):
-    """Traverse the BVH for a batch of rays.
+def _node_boxes(bvh, node):
+    """Gather child AABBs for node ids `node` of any shape S.
 
-    origin/direction: (R, 3) f32. Returns dict(t, tri, u, v): (R,) arrays,
-    t = +inf and tri = -1 where nothing was hit.
+    Returns (box_min, box_max): Vec3 with components (8,) + S — one fused
+    gather from the (48, n_internal) plane table.
+    """
+    g = bvh.nodes[:, node]  # (48,) + S
+    g = g.reshape((6, W) + node.shape)
+    return (
+        Vec3(x=g[0], y=g[1], z=g[2]),
+        Vec3(x=g[3], y=g[4], z=g[5]),
+    )
+
+
+def _leaf_mt(origin, direction, triangles, tri_idx):
+    """Moller-Trumbore against gathered triangle slots.
+
+    tri_idx: int array shaped C + (R,); origin/direction Vec3 of (R,).
+    Returns (t, u, v) shaped like tri_idx.
+    """
+    v0 = triangles.v0.gather(tri_idx)
+    e1 = triangles.e1.gather(tri_idx)
+    e2 = triangles.e2.gather(tri_idx)
+    return intersect.moller_trumbore(origin, direction, v0, e1, e2)
+
+
+def intersect_bvh(origin: Vec3, direction: Vec3, triangles, bvh, active=None):
+    """Exact ordered DFS (the reference algorithm made iterative).
+
+    Entries < last_row_offset are internal nodes; entries >= are leaf blocks
+    (raytracer.c:474-476). Each iteration pops one entry per ray in
+    lockstep: internal pops slab-test 8 children and push hits far-to-near
+    (nearest pops first — the selection loop of raytracer.c:459-474); leaf
+    pops run 8 triangle tests and tighten best_t, which prunes stale stack
+    entries at pop time (raytracer.c:470).
     """
     r = origin.shape[0]
     depth = bvh.depth
-    n_internal = bvh.mins.shape[0]
-    n_blocks = triangles.v0.shape[0] // W
+    n_internal = bvh.n_internal
+    n_blocks = triangles.capacity // W
     stack_size = 8 * (depth + 1)
     max_iters = n_internal + n_blocks + 8
 
     if active is None:
         active = jnp.ones((r,), bool)
 
-    inv_dir = 1.0 / direction
+    inv_dir = Vec3(1.0 / direction.x, 1.0 / direction.y, 1.0 / direction.z)
     lane = jnp.arange(W, dtype=jnp.int32)
     rr = jnp.arange(r)
+    slot_ids = jnp.arange(stack_size, dtype=jnp.int32)[:, None]  # (S, 1)
 
     state = {
         "sp": jnp.where(active, 1, 0).astype(jnp.int32),
-        "stack_e": jnp.zeros((r, stack_size), jnp.int32),
-        "stack_d": jnp.zeros((r, stack_size), jnp.float32),
+        "stack_e": jnp.zeros((stack_size, r), jnp.int32),
+        "stack_d": jnp.zeros((stack_size, r), jnp.float32),
         "best_t": jnp.full((r,), INF),
         "best_tri": jnp.full((r,), -1, jnp.int32),
         "best_u": jnp.zeros((r,), jnp.float32),
@@ -72,8 +97,8 @@ def intersect_bvh(origin, direction, triangles, bvh, active=None):
         sp = st["sp"]
         has = sp > 0
         top = jnp.maximum(sp - 1, 0)
-        e = jnp.take_along_axis(st["stack_e"], top[:, None], axis=1)[:, 0]
-        d = jnp.take_along_axis(st["stack_d"], top[:, None], axis=1)[:, 0]
+        e = jnp.take_along_axis(st["stack_e"], top[None, :], axis=0)[0]
+        d = jnp.take_along_axis(st["stack_d"], top[None, :], axis=0)[0]
         sp = jnp.where(has, sp - 1, sp)
 
         best_t = st["best_t"]
@@ -83,39 +108,33 @@ def intersect_bvh(origin, direction, triangles, bvh, active=None):
         # --- internal expand -------------------------------------------
         proc_int = process & ~is_leaf
         node = jnp.clip(e, 0, n_internal - 1)
-        mins = bvh.mins[node]  # (R, 8, 3)
-        maxs = bvh.maxs[node]
-        dists = intersect.aabb_slab(origin, inv_dir, mins, maxs, EPSILON, best_t)
-        dists = jnp.where(proc_int[:, None], dists, INF)
+        bmin, bmax = _node_boxes(bvh, node)  # Vec3 (8, R)
+        dists = intersect.aabb_slab(
+            origin, inv_dir, bmin, bmax, EPSILON, best_t
+        )  # (8, R)
+        dists = jnp.where(proc_int[None, :], dists, INF)
 
-        order = jnp.argsort(dists, axis=1).astype(jnp.int32)
-        sd = jnp.take_along_axis(dists, order, axis=1)  # ascending
-        child = node[:, None] * W + 1 + order  # (R, 8)
+        order = jnp.argsort(dists, axis=0).astype(jnp.int32)
+        sd = jnp.take_along_axis(dists, order, axis=0)  # ascending
+        child = node[None, :] * W + 1 + order  # (8, R)
 
         stack_e, stack_d = st["stack_e"], st["stack_d"]
-        slot_ids = jnp.arange(stack_size, dtype=jnp.int32)[None, :]
         # push far-to-near so the nearest child pops first
         for k in range(W - 1, -1, -1):
-            m = proc_int & (sd[:, k] < best_t)
-            one_hot = (slot_ids == sp[:, None]) & m[:, None]
-            stack_e = jnp.where(one_hot, child[:, k : k + 1], stack_e)
-            stack_d = jnp.where(one_hot, sd[:, k : k + 1], stack_d)
+            m = proc_int & (sd[k] < best_t)
+            one_hot = (slot_ids == sp[None, :]) & m[None, :]
+            stack_e = jnp.where(one_hot, child[k][None, :], stack_e)
+            stack_d = jnp.where(one_hot, sd[k][None, :], stack_d)
             sp = sp + m.astype(jnp.int32)
 
         # --- leaf block test --------------------------------------------
         proc_leaf = process & is_leaf
         blk = jnp.clip(e - n_internal, 0, n_blocks - 1)
-        tri_idx = blk[:, None] * W + lane[None, :]  # (R, 8)
-        t, u, v = intersect.moller_trumbore(
-            origin[:, None, :],
-            direction[:, None, :],
-            triangles.v0[tri_idx],
-            triangles.e1[tri_idx],
-            triangles.e2[tri_idx],
-        )
-        t = jnp.where(proc_leaf[:, None], t, INF)
-        j = jnp.argmin(t, axis=1)
-        tb = t[rr, j]
+        tri_idx = blk[None, :] * W + lane[:, None]  # (8, R)
+        t, u, v = _leaf_mt(origin, direction, triangles, tri_idx)
+        t = jnp.where(proc_leaf[None, :], t, INF)
+        j = jnp.argmin(t, axis=0)
+        tb = t[j, rr]
         better = tb < best_t
 
         return {
@@ -124,10 +143,10 @@ def intersect_bvh(origin, direction, triangles, bvh, active=None):
             "stack_d": stack_d,
             "best_t": jnp.where(better, tb, best_t),
             "best_tri": jnp.where(
-                better, tri_idx[rr, j].astype(jnp.int32), st["best_tri"]
+                better, tri_idx[j, rr].astype(jnp.int32), st["best_tri"]
             ),
-            "best_u": jnp.where(better, u[rr, j], st["best_u"]),
-            "best_v": jnp.where(better, v[rr, j], st["best_v"]),
+            "best_u": jnp.where(better, u[j, rr], st["best_u"]),
+            "best_v": jnp.where(better, v[j, rr], st["best_v"]),
             "it": st["it"] + 1,
         }
 
@@ -141,102 +160,93 @@ def intersect_bvh(origin, direction, triangles, bvh, active=None):
 
 
 def intersect_bvh_topk(
-    origin, direction, triangles, bvh, active=None, k: int = 8,
+    origin: Vec3, direction: Vec3, triangles, bvh, active=None, k: int = 8,
     k_leaf: int = 16, with_bound: bool = False,
 ):
     """Dense level-synchronous traversal — the TPU production path.
 
-    Instead of a per-ray stack (which serializes into a divergent
-    while_loop), every ray descends the complete tree level-by-level keeping
-    the `k` nearest hit children (ranked by AABB entry distance — the same
-    nearest-first ordering as the reference's selection loop,
-    raytracer.c:459-474, made rank-based instead of sequential). The leaf
-    stage tests the `k_leaf` nearest candidate blocks' triangles in ONE dense
+    Every ray descends the complete tree level-by-level keeping the `k`
+    nearest hit children, ranked by AABB entry distance (the reference's
+    nearest-first ordering, raytracer.c:459-474, made rank-based). The leaf
+    stage tests the `k_leaf` nearest candidate blocks in ONE dense
     Moller-Trumbore batch. Every op is a fixed-shape sort/gather/VPU stage —
-    no data-dependent control flow, so XLA pipelines it across the whole ray
-    arena.
+    no data-dependent control flow. Candidate axes lead; rays stay minor.
 
-    Exactness: the top-8 root level is always complete (8 children). Deeper
-    levels truncate to the k nearest candidate subtrees per ray; a hit is
-    missed only if more than k closer-ranked AABBs hide the true one (resp.
-    k_leaf blocks). intersect_bvh (ordered DFS) is the exact reference
-    oracle; tests/test_traverse_topk.py measures agreement.
+    with_bound=True additionally returns `dropped_min`, the entry distance
+    of the nearest candidate ever truncated — the exactness certificate used
+    by intersect_bvh_verified.
     """
     r = origin.shape[0]
     depth = bvh.depth
-    n_internal = bvh.mins.shape[0]
-    n_blocks = triangles.v0.shape[0] // W
+    n_internal = bvh.n_internal
+    n_blocks = triangles.capacity // W
 
-    inv_dir = 1.0 / direction
+    inv_dir = Vec3(1.0 / direction.x, 1.0 / direction.y, 1.0 / direction.z)
     lane = jnp.arange(W, dtype=jnp.int32)
+    rr = jnp.arange(r)
 
     # level 0: root children
+    bmin, bmax = _node_boxes(bvh, jnp.zeros((), jnp.int32))  # Vec3 (8,)
     dists = intersect.aabb_slab(
-        origin, inv_dir, bvh.mins[0][None], bvh.maxs[0][None], EPSILON, INF
-    )  # (R, 8)
+        origin, inv_dir,
+        bmin.map(lambda a: a[:, None]), bmax.map(lambda a: a[:, None]),
+        EPSILON, INF,
+    )  # (8, R)
     if active is not None:
-        dists = jnp.where(active[:, None], dists, INF)
-    cand_ids = jnp.broadcast_to(lane[None, :] + 1, (r, W)).astype(jnp.int32)
+        dists = jnp.where(active[None, :], dists, INF)
+    cand_ids = jnp.broadcast_to(
+        lane[:, None] + 1, (W, r)
+    ).astype(jnp.int32)
     cand_d = dists
-    # entry distance of the nearest candidate ever truncated; if it is >= the
-    # final best_t the truncation was provably harmless (AABB entry distance
-    # lower-bounds any hit inside it)
     dropped_min = jnp.full((r,), INF)
 
     for _level in range(1, depth):
-        kk = min(k, cand_d.shape[1])
-        if cand_d.shape[1] > kk:
-            order = jnp.argsort(cand_d, axis=1).astype(jnp.int32)
-            sd = jnp.take_along_axis(cand_d, order, axis=1)
-            dropped_min = jnp.minimum(dropped_min, sd[:, kk])
-            order = order[:, :kk]
-            ids = jnp.take_along_axis(cand_ids, order, axis=1)
-            dk = sd[:, :kk]
+        kk = min(k, cand_d.shape[0])
+        if cand_d.shape[0] > kk:
+            order = jnp.argsort(cand_d, axis=0).astype(jnp.int32)
+            sd = jnp.take_along_axis(cand_d, order, axis=0)
+            dropped_min = jnp.minimum(dropped_min, sd[kk])
+            ids = jnp.take_along_axis(cand_ids, order[:kk], axis=0)
+            dk = sd[:kk]
         else:
             ids, dk = cand_ids, cand_d
-        node = jnp.clip(ids, 0, n_internal - 1)
-        mins = bvh.mins[node]  # (R, kk, 8, 3)
-        maxs = bvh.maxs[node]
-        d = intersect.aabb_slab(
-            origin[:, None, :], inv_dir[:, None, :], mins, maxs, EPSILON, INF
-        )  # (R, kk, 8)
-        d = jnp.where(jnp.isfinite(dk)[:, :, None], d, INF)
-        child = node[:, :, None] * W + 1 + lane[None, None, :]
-        cand_ids = child.reshape(r, kk * W)
-        cand_d = d.reshape(r, kk * W)
+        node = jnp.clip(ids, 0, n_internal - 1)  # (kk, R)
+        bmin, bmax = _node_boxes(bvh, node)  # Vec3 (8, kk, R)
+        d = intersect.aabb_slab(origin, inv_dir, bmin, bmax, EPSILON, INF)
+        d = jnp.where(jnp.isfinite(dk)[None, :, :], d, INF)  # (8, kk, R)
+        child = node[None, :, :] * W + 1 + lane[:, None, None]
+        cand_ids = child.reshape(W * kk, r)
+        cand_d = d.reshape(W * kk, r)
 
-    # leaf stage: candidates are leaf-row entries
-    kl = min(k_leaf, cand_d.shape[1])
-    if cand_d.shape[1] > kl:
-        order = jnp.argsort(cand_d, axis=1).astype(jnp.int32)
-        sd = jnp.take_along_axis(cand_d, order, axis=1)
-        dropped_min = jnp.minimum(dropped_min, sd[:, kl])
-        blk_ids = jnp.take_along_axis(cand_ids, order[:, :kl], axis=1)
-        blk_d = sd[:, :kl]
+    # leaf stage
+    kl = min(k_leaf, cand_d.shape[0])
+    if cand_d.shape[0] > kl:
+        order = jnp.argsort(cand_d, axis=0).astype(jnp.int32)
+        sd = jnp.take_along_axis(cand_d, order, axis=0)
+        dropped_min = jnp.minimum(dropped_min, sd[kl])
+        blk_ids = jnp.take_along_axis(cand_ids, order[:kl], axis=0)
+        blk_d = sd[:kl]
     else:
         blk_ids, blk_d = cand_ids, cand_d
 
-    blocks = jnp.clip(blk_ids - n_internal, 0, n_blocks - 1)
-    tri_idx = (blocks[:, :, None] * W + lane[None, None, :]).reshape(r, kl * W)
-    t, u, v = intersect.moller_trumbore(
-        origin[:, None, :],
-        direction[:, None, :],
-        triangles.v0[tri_idx],
-        triangles.e1[tri_idx],
-        triangles.e2[tri_idx],
-    )  # (R, kl*8)
-    valid = jnp.repeat(jnp.isfinite(blk_d), W, axis=1)
+    blocks = jnp.clip(blk_ids - n_internal, 0, n_blocks - 1)  # (kl, R)
+    tri_idx = (
+        blocks[None, :, :] * W + lane[:, None, None]
+    ).reshape(W * kl, r)
+    t, u, v = _leaf_mt(origin, direction, triangles, tri_idx)
+    valid = jnp.broadcast_to(
+        jnp.isfinite(blk_d)[None, :, :], (W, kl, r)
+    ).reshape(W * kl, r)
     t = jnp.where(valid, t, INF)
 
-    j = jnp.argmin(t, axis=1)
-    rr = jnp.arange(r)
-    tb = t[rr, j]
+    j = jnp.argmin(t, axis=0)
+    tb = t[j, rr]
     hit = jnp.isfinite(tb)
     out = {
         "t": tb,
-        "tri": jnp.where(hit, tri_idx[rr, j].astype(jnp.int32), -1),
-        "u": u[rr, j],
-        "v": v[rr, j],
+        "tri": jnp.where(hit, tri_idx[j, rr].astype(jnp.int32), -1),
+        "u": u[j, rr],
+        "v": v[j, rr],
     }
     if with_bound:
         out["dropped_min"] = dropped_min
@@ -245,7 +255,7 @@ def intersect_bvh_topk(
 
 def _merge_hits(a, b):
     """Pick the nearer hit per ray (b wins ties)."""
-    b_wins = b["t"] <= a["t"]  # NaN-free: both are +inf on miss
+    b_wins = b["t"] <= a["t"]
     return {
         "t": jnp.where(b_wins, b["t"], a["t"]),
         "tri": jnp.where(b_wins, b["tri"], a["tri"]),
@@ -255,32 +265,25 @@ def _merge_hits(a, b):
 
 
 def intersect_bruteforce_chunked(
-    origin, direction, triangles, active=None, chunk: int = 4096
+    origin: Vec3, direction: Vec3, triangles, active=None, chunk: int = 4096
 ):
     """Memory-bounded exhaustive oracle: fori_loop over triangle chunks so
-    the (R, N) intermediate never materializes. Last-resort exact fallback."""
+    the (N, R) intermediate never materializes. Last-resort exact fallback."""
     r = origin.shape[0]
-    n = triangles.v0.shape[0]
+    n = triangles.capacity
     n_chunks = (n + chunk - 1) // chunk
     lane = jnp.arange(chunk, dtype=jnp.int32)
+    rr = jnp.arange(r)
 
     def body(c, best):
-        idx = jnp.clip(c * chunk + lane, 0, n - 1)
-        t, u, v = intersect.moller_trumbore(
-            origin[:, None, :],
-            direction[:, None, :],
-            triangles.v0[idx][None],
-            triangles.e1[idx][None],
-            triangles.e2[idx][None],
-        )  # (R, chunk)
-        # clipped duplicate tail indices can only repeat real triangles
-        j = jnp.argmin(t, axis=1)
-        rr = jnp.arange(r)
+        idx = jnp.clip(c * chunk + lane, 0, n - 1)[:, None]  # (chunk, 1)
+        t, u, v = _leaf_mt(origin, direction, triangles, idx)  # (chunk, R)
+        j = jnp.argmin(t, axis=0)
         cand = {
-            "t": t[rr, j],
-            "tri": idx[j].astype(jnp.int32),
-            "u": u[rr, j],
-            "v": v[rr, j],
+            "t": t[j, rr],
+            "tri": idx[j, 0].astype(jnp.int32),
+            "u": u[j, rr],
+            "v": v[j, rr],
         }
         return _merge_hits(best, cand)
 
@@ -293,24 +296,23 @@ def intersect_bruteforce_chunked(
     best = jax.lax.fori_loop(0, n_chunks, body, best)
     if active is not None:
         best["t"] = jnp.where(active, best["t"], INF)
-        best["tri"] = jnp.where(active, best["tri"], -1)
     best["tri"] = jnp.where(jnp.isfinite(best["t"]), best["tri"], -1)
     return best
 
 
 def intersect_bvh_verified(
-    origin, direction, triangles, bvh, active=None, k: int = 8,
+    origin: Vec3, direction: Vec3, triangles, bvh, active=None, k: int = 8,
     k_leaf: int = 16,
 ):
     """Exact dense traversal: top-k pass + truncation-bound verification.
 
-    Pass 1 runs the cheap top-k descent. A ray is `suspect` only if some
-    truncated candidate's AABB entry distance beats its found hit — the
-    provable condition for a possible miss. Suspects (rare; zero for
-    coherent camera batches) escalate through a 4x-wider pass and finally a
-    chunked brute-force sweep, both behind jax.lax.cond so clean batches pay
-    nothing. The result is exact — bit-identical hit selection to the
-    brute-force oracle — while keeping every op dense and fixed-shape.
+    A ray is `suspect` only if some truncated candidate's AABB entry
+    distance beats its found hit — the provable condition for a possible
+    miss (AABB entry distance lower-bounds any contained hit). Suspects
+    (rare; zero for coherent camera batches) escalate behind jax.lax.cond to
+    a 4x-wider pass and finally a chunked brute-force sweep, so clean
+    batches pay nothing. Hit selection is exact — identical to the
+    brute-force oracle (tests/test_traverse_topk.py).
     """
     hit = intersect_bvh_topk(
         origin, direction, triangles, bvh, active, k=k, k_leaf=k_leaf,
@@ -320,9 +322,9 @@ def intersect_bvh_verified(
     if active is not None:
         suspect = suspect & active
 
-    width = triangles.v0.shape[0] // W  # total leaf blocks
+    n_blocks = triangles.capacity // W
     k2 = min(4 * k, 64)
-    kl2 = min(4 * k_leaf, width)
+    kl2 = min(4 * k_leaf, max(n_blocks, 1))
 
     def escalate(args):
         hit, suspect = args
@@ -351,15 +353,15 @@ def intersect_bvh_verified(
 
 
 def intersect_scene(
-    scene, origin, direction, active=None, method: str = "topk",
+    scene, origin: Vec3, direction: Vec3, active=None, method: str = "topk",
     k: int = 8, k_leaf: int = 16,
 ):
     """ray_scene_hit (raytracer.c:497-503) + the sphere pass: nearest hit
     among BVH triangles and analytic spheres.
 
-    method: "topk" (dense level-synchronous BVH with exactness verification —
-    the TPU production path), "topk_fast" (single unverified pass),
-    "dfs" (exact ordered DFS), or "brute" (exhaustive oracle).
+    method: "topk" (dense + exactness verification — the TPU production
+    path), "topk_fast" (single unverified pass), "dfs" (exact ordered DFS),
+    or "brute" (exhaustive oracle).
     Returns dict(t, tri, sph, u, v); tri/sph are -1 where not the winner.
     """
     if method == "dfs":
@@ -376,6 +378,8 @@ def intersect_scene(
         )
     elif method == "brute":
         hit = intersect.intersect_bruteforce(origin, direction, scene.triangles)
+        if active is not None:
+            hit["t"] = jnp.where(active, hit["t"], INF)
         hit["tri"] = jnp.where(jnp.isfinite(hit["t"]), hit["tri"], -1)
     else:
         raise ValueError(f"unknown traversal method '{method}'")
@@ -386,7 +390,10 @@ def intersect_scene(
     t_sph, sph = intersect.intersect_spheres(
         origin, direction, scene.spheres, t_tri
     )
-    sphere_wins = t_sph < t_tri
+    if active is not None:
+        sphere_wins = (t_sph < t_tri) & active
+    else:
+        sphere_wins = t_sph < t_tri
     return {
         "t": jnp.where(sphere_wins, t_sph, t_tri),
         "tri": jnp.where(sphere_wins, -1, tri),

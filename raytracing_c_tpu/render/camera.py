@@ -1,4 +1,4 @@
-"""Pinhole camera ray generation.
+"""Pinhole camera ray generation (component-plane output).
 
 Replicates the reference's raygen semantics (raytracer.c:641-698): jittered
 uv in [-1, 1], aspect scaling on x, y flip, -focal_length forward, rotation
@@ -16,30 +16,36 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from raytracing_c_tpu.utils.vec3 import Vec3
 
-def generate_rays(camera, width, height, px, py, jitter):
+
+def generate_rays(camera, width, height, px, py, jitter_u, jitter_v):
     """Generate camera rays.
 
-    px/py: (R,) pixel integer coordinates; jitter: (R, 2) uniforms in [0,1).
-    Returns (origin, direction): (R, 3) each, direction unit-length.
+    px/py: (R,) pixel integer coordinates; jitter_u/jitter_v: (R,) uniforms
+    in [0,1). Returns (origin, direction): Vec3 of (R,), unit directions.
     """
     width = jnp.float32(width)
     height = jnp.float32(height)
     aspect = width / height
 
-    u = ((px.astype(jnp.float32) + jitter[:, 0] - 0.5) * 2.0 / width) - 1.0
-    v = ((py.astype(jnp.float32) + jitter[:, 1] - 0.5) * 2.0 / height) - 1.0
+    u = ((px.astype(jnp.float32) + jitter_u - 0.5) * 2.0 / width) - 1.0
+    v = ((py.astype(jnp.float32) + jitter_v - 0.5) * 2.0 / height) - 1.0
 
     dx = u * aspect
     dy = -v
     dz = jnp.broadcast_to(-camera.focal_length, dx.shape)
 
     m = camera.view_matrix
-    wx = m[0, 0] * dx + m[0, 1] * dy + m[0, 2] * dz
-    wy = m[1, 0] * dx + m[1, 1] * dy + m[1, 2] * dz
-    wz = m[2, 0] * dx + m[2, 1] * dy + m[2, 2] * dz
-    d = jnp.stack([wx, wy, wz], axis=-1)
-    d = d / jnp.sqrt((d * d).sum(-1, keepdims=True))
+    d = Vec3(
+        x=m[0, 0] * dx + m[0, 1] * dy + m[0, 2] * dz,
+        y=m[1, 0] * dx + m[1, 1] * dy + m[1, 2] * dz,
+        z=m[2, 0] * dx + m[2, 1] * dy + m[2, 2] * dz,
+    ).normalized()
 
-    origin = jnp.broadcast_to(m[:3, 3], d.shape)
+    origin = Vec3(
+        x=jnp.broadcast_to(m[0, 3], dx.shape),
+        y=jnp.broadcast_to(m[1, 3], dx.shape),
+        z=jnp.broadcast_to(m[2, 3], dx.shape),
+    )
     return origin, d

@@ -1,9 +1,10 @@
-"""Wavefront path integrator.
+"""Wavefront path integrator (component-plane state).
 
 The reference's per-pixel recursive bounce loop (cast_ray, raytracer.c:505-558)
 re-designed as a bounce-synchronous batched loop over a flat ray arena: every
 bounce intersects, shades, and advances ALL rays at once with masks — the
-TPU-native shape of the algorithm (SURVEY §7).
+TPU-native shape of the algorithm (SURVEY §7). All per-ray vectors are Vec3
+component planes, so state arrays stay batch-minor.
 
 Semantics preserved exactly:
 - throughput ("accumulated_tint") x per-bounce shader tint; accumulated
@@ -26,40 +27,42 @@ import jax.numpy as jnp
 from raytracing_c_tpu import EPSILON
 from raytracing_c_tpu.ops import background as bg_ops
 from raytracing_c_tpu.ops import disney, traverse
-from raytracing_c_tpu.utils import vecmath as vm
+from raytracing_c_tpu.utils.vec3 import Vec3
 
 
-def _gather_hit_geometry(scene, origin, direction, hit):
+def _gather_hit_geometry(scene, origin: Vec3, direction: Vec3, hit):
     """Deferred attribute interpolation: gather per-hit vertex data by the
     winning triangle index (the SIMD kernel interpolated inline,
     raytracer.c:159-183; we defer it to one dense stage per bounce)."""
     tris = scene.triangles
     tri = jnp.maximum(hit["tri"], 0)
-    u = hit["u"][..., None]
-    v = hit["v"][..., None]
+    u = hit["u"]
+    v = hit["v"]
     w = 1.0 - u - v
 
-    normal = tris.n0[tri] * w + tris.n1[tri] * u + tris.n2[tri] * v
-    uv = tris.uv0[tri] * w + tris.uv1[tri] * u + tris.uv2[tri] * v
-    ng = tris.ng[tri]
-    tangent = tris.tangent[tri]
-    bitangent = tris.bitangent[tri]
+    normal = tris.n0.gather(tri) * w + tris.n1.gather(tri) * u + tris.n2.gather(tri) * v
+    uv_u = tris.uv0u[tri] * w + tris.uv1u[tri] * u + tris.uv2u[tri] * v
+    uv_v = tris.uv0v[tri] * w + tris.uv1v[tri] * u + tris.uv2v[tri] * v
+    ng = tris.ng.gather(tri)
+    tangent = tris.tangent.gather(tri)
+    bitangent = tris.bitangent.gather(tri)
     mat_id = tris.mat_id[tri]
 
-    point = origin + direction * hit["t"][..., None]
+    point = origin + direction * hit["t"]
 
     if scene.spheres.count > 0:
         sph = jnp.maximum(hit["sph"], 0)
         is_sph = hit["sph"] >= 0
-        center = scene.spheres.center[sph]
+        center = scene.spheres.center.gather(sph)
         radius = scene.spheres.radius[sph]
-        n_sph = (point - center) / radius[..., None]
-        t_sph, b_sph = vm.basis(direction, n_sph)
-        normal = jnp.where(is_sph[..., None], n_sph, normal)
-        ng = jnp.where(is_sph[..., None], n_sph, ng)
-        tangent = jnp.where(is_sph[..., None], t_sph, tangent)
-        bitangent = jnp.where(is_sph[..., None], b_sph, bitangent)
-        uv = jnp.where(is_sph[..., None], 0.0, uv)
+        n_sph = (point - center) * (1.0 / radius)
+        t_sph, b_sph = disney.basis(direction, n_sph)
+        normal = Vec3.where(is_sph, n_sph, normal)
+        ng = Vec3.where(is_sph, n_sph, ng)
+        tangent = Vec3.where(is_sph, t_sph, tangent)
+        bitangent = Vec3.where(is_sph, b_sph, bitangent)
+        uv_u = jnp.where(is_sph, 0.0, uv_u)
+        uv_v = jnp.where(is_sph, 0.0, uv_v)
         mat_id = jnp.where(is_sph, scene.spheres.mat_id[sph], mat_id)
 
     return {
@@ -68,31 +71,32 @@ def _gather_hit_geometry(scene, origin, direction, hit):
         "ng": ng,
         "tangent": tangent,
         "bitangent": bitangent,
-        "uv": uv,
+        "uv_u": uv_u,
+        "uv_v": uv_v,
         "mat_id": mat_id,
     }
 
 
-def trace(scene, origin, direction, uniforms, max_bounces: int,
+def trace(scene, origin: Vec3, direction: Vec3, uniforms, max_bounces: int,
           method: str = "topk", texture_mode: str = "bilinear"):
     """Trace a batch of rays to completion.
 
-    origin/direction: (R, 3); uniforms: (R, max_bounces, 4) pre-drawn
+    origin/direction: Vec3 of (R,); uniforms: (max_bounces, 4, R) pre-drawn
     threefry uniforms (lobe select, u1, u2, spare) — the stateless
     counter-based replacement for the reference's thread-local PCG stream
     (common.h:13-28, SURVEY §2.1).
 
-    Returns (radiance (R, 3), rays_traced scalar i64-ish f32) where
-    rays_traced counts every scene intersection executed, including backface
-    re-casts — the Mrays/s numerator (BASELINE.md measurement note).
+    Returns (radiance Vec3 of (R,), rays_traced scalar) where rays_traced
+    counts every scene intersection executed, including backface re-casts —
+    the Mrays/s numerator (BASELINE.md measurement note).
     """
     r = origin.shape[0]
 
     state = {
         "origin": origin,
         "direction": direction,
-        "throughput": jnp.ones((r, 3), jnp.float32),
-        "radiance": jnp.zeros((r, 3), jnp.float32),
+        "throughput": Vec3.full((r,), 1.0),
+        "radiance": Vec3.zeros((r,)),
         "active": jnp.ones((r,), bool),
         "rays": jnp.float32(0.0),
     }
@@ -110,46 +114,44 @@ def trace(scene, origin, direction, uniforms, max_bounces: int,
         # backface skip: geometric OR shading normal along the ray
         # (raytracer.c:516-521)
         backface = is_hit & (
-            (vm.dot(geom["ng"], d) > 0.0) | (vm.dot(geom["normal"], d) > 0.0)
+            (geom["ng"].dot(d) > 0.0) | (geom["normal"].dot(d) > 0.0)
         )
         shaded = is_hit & ~backface
 
-        n_unit = vm.normalize(geom["normal"])
+        n_unit = geom["normal"].normalized()
         out = disney.shade(
             scene, d, n_unit, geom["ng"], geom["tangent"], geom["bitangent"],
-            geom["uv"], geom["mat_id"], uniforms[:, i, :], texture_mode,
+            geom["uv_u"], geom["uv_v"], geom["mat_id"], uniforms[i],
+            texture_mode,
         )
 
-        radiance = st["radiance"] + jnp.where(
-            shaded[..., None], st["throughput"] * out["emission"], 0.0
+        zero = Vec3.zeros((r,))
+        radiance = st["radiance"] + Vec3.where(
+            shaded, st["throughput"] * out["emission"], zero
         )
 
         # miss: background * throughput (raytracer.c:553-555)
         miss = active & ~is_hit
         bg = bg_ops.eval_background(scene, d)
-        radiance = radiance + jnp.where(
-            miss[..., None], st["throughput"] * bg, 0.0
-        )
+        radiance = radiance + Vec3.where(miss, st["throughput"] * bg, zero)
 
-        terminate = shaded & out["terminate"]
+        # terminated rays keep their accumulated emission and go inactive
         cont = shaded & ~out["terminate"]
 
-        throughput = jnp.where(
-            cont[..., None], st["throughput"] * out["tint"], st["throughput"]
+        throughput = Vec3.where(
+            cont, st["throughput"] * out["tint"], st["throughput"]
         )
 
         # next ray origin: epsilon rules (raytracer.c:520, 551-552)
         bias = jnp.where(
-            vm.dot(geom["ng"], out["direction"]) < 0.0, -EPSILON, EPSILON
+            geom["ng"].dot(out["direction"]) < 0.0, -EPSILON, EPSILON
         )
-        origin_shaded = geom["point"] + geom["ng"] * bias[..., None]
+        origin_shaded = geom["point"] + geom["ng"] * bias
         origin_back = geom["point"] + d * EPSILON
-        new_origin = jnp.where(
-            backface[..., None],
-            origin_back,
-            jnp.where(cont[..., None], origin_shaded, o),
+        new_origin = Vec3.where(
+            backface, origin_back, Vec3.where(cont, origin_shaded, o)
         )
-        new_dir = jnp.where(cont[..., None], out["direction"], d)
+        new_dir = Vec3.where(cont, out["direction"], d)
 
         return {
             "origin": new_origin,

@@ -26,6 +26,7 @@ import numpy as np
 
 from raytracing_c_tpu import EPSILON
 from raytracing_c_tpu.render import integrator
+from raytracing_c_tpu.utils.vec3 import Vec3
 
 
 def _rasterize_host(scene, width: int, height: int):
@@ -36,15 +37,28 @@ def _rasterize_host(scene, width: int, height: int):
     """
     tris = scene.triangles
     n = scene.n_triangles
-    uv0 = np.asarray(tris.uv0)[:n] * [width, height]
-    uv1 = np.asarray(tris.uv1)[:n] * [width, height]
-    uv2 = np.asarray(tris.uv2)[:n] * [width, height]
-    v0 = np.asarray(tris.v0)[:n]
-    v1 = np.asarray(tris.v1)[:n]
-    v2 = np.asarray(tris.v2)[:n]
-    n0 = np.asarray(tris.n0)[:n]
-    n1 = np.asarray(tris.n1)[:n]
-    n2 = np.asarray(tris.n2)[:n]
+
+    def planes(v):
+        return np.stack(
+            [np.asarray(v.x)[:n], np.asarray(v.y)[:n], np.asarray(v.z)[:n]],
+            axis=-1,
+        )
+
+    uv0 = np.stack(
+        [np.asarray(tris.uv0u)[:n], np.asarray(tris.uv0v)[:n]], axis=-1
+    ) * [width, height]
+    uv1 = np.stack(
+        [np.asarray(tris.uv1u)[:n], np.asarray(tris.uv1v)[:n]], axis=-1
+    ) * [width, height]
+    uv2 = np.stack(
+        [np.asarray(tris.uv2u)[:n], np.asarray(tris.uv2v)[:n]], axis=-1
+    ) * [width, height]
+    v0 = planes(tris.v0)
+    v1 = v0 + planes(tris.e1)
+    v2 = v0 + planes(tris.e2)
+    n0 = planes(tris.n0)
+    n1 = planes(tris.n1)
+    n2 = planes(tris.n2)
 
     out_idx, out_pos, out_nrm = [], [], []
     denom = (uv1[:, 1] - uv2[:, 1]) * (uv0[:, 0] - uv2[:, 0]) + (
@@ -134,28 +148,44 @@ def bake_lightmap(
         k = jax.random.fold_in(key, lo)
         k_dir, k_mat = jax.random.split(k)
 
-        p = jnp.asarray(pos[lo:hi])
-        nn = jnp.asarray(nrm[lo:hi])
-        nn = nn / jnp.linalg.norm(nn, axis=-1, keepdims=True)
+        p = pos[lo:hi]
+        nn = nrm[lo:hi]
+        nn = nn / np.maximum(np.linalg.norm(nn, axis=-1, keepdims=True), 1e-30)
 
-        # uniform hemisphere about the normal, cosine-weighted estimator
-        d = jax.random.normal(k_dir, (t, samples, 3), jnp.float32)
-        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        cos = (d * nn[:, None, :]).sum(-1)
-        d = jnp.where(cos[..., None] < 0, -d, d)
+        # uniform hemisphere about the normal, cosine-weighted estimator;
+        # all device arrays batch-minor: (3, t*samples)
+        g = jax.random.normal(k_dir, (3, t * samples), jnp.float32)
+        d = Vec3(g[0], g[1], g[2]).normalized()
+        nrm_v = Vec3(
+            jnp.asarray(np.repeat(nn[:, 0], samples)),
+            jnp.asarray(np.repeat(nn[:, 1], samples)),
+            jnp.asarray(np.repeat(nn[:, 2], samples)),
+        )
+        cos = d.dot(nrm_v)
+        d = Vec3.where(cos < 0, -d, d)
         cos = jnp.abs(cos)
 
-        origins = jnp.broadcast_to(
-            (p + nn * EPSILON)[:, None, :], (t, samples, 3)
-        ).reshape(-1, 3)
-        dirs = d.reshape(-1, 3)
+        start = p + nn * EPSILON
+        origins = Vec3(
+            jnp.asarray(np.repeat(start[:, 0], samples)),
+            jnp.asarray(np.repeat(start[:, 1], samples)),
+            jnp.asarray(np.repeat(start[:, 2], samples)),
+        )
         uni = jax.random.uniform(
-            k_mat, (t * samples, max_bounces, 4), jnp.float32
+            k_mat, (max_bounces, 4, t * samples), jnp.float32
         )
         radiance, _ = integrator.trace(
-            scene, origins, dirs, uni, max_bounces, method=method
+            scene, origins, d, uni, max_bounces, method=method
         )
-        rad = radiance.reshape(t, samples, 3) * cos[..., None]
-        lightmap[idx[lo:hi]] = np.asarray(rad.mean(axis=1))
+        rad = radiance * cos
+        out = np.stack(
+            [
+                np.asarray(rad.x).reshape(t, samples).mean(axis=1),
+                np.asarray(rad.y).reshape(t, samples).mean(axis=1),
+                np.asarray(rad.z).reshape(t, samples).mean(axis=1),
+            ],
+            axis=-1,
+        )
+        lightmap[idx[lo:hi]] = out
 
     return lightmap.reshape(height, width, 3)

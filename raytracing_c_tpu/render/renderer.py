@@ -65,22 +65,30 @@ def render_batch(
 
     # stateless counter-based RNG replaces the reference's time-seeded
     # thread-local PCG (common.h:13-28, raytracer.c:597): one threefry draw
-    # for raygen jitter + per-bounce material uniforms
+    # for raygen jitter + per-bounce material uniforms. All draws are
+    # batch-minor: (2, R) and (bounces, 4, R).
     k_jit, k_mat = jax.random.split(key)
-    jitter = jax.random.uniform(k_jit, (r, 2), jnp.float32)
-    uniforms = jax.random.uniform(k_mat, (r, max_bounces, 4), jnp.float32)
+    jitter = jax.random.uniform(k_jit, (2, r), jnp.float32)
+    uniforms = jax.random.uniform(k_mat, (max_bounces, 4, r), jnp.float32)
 
     rpx = jnp.repeat(px, spp)
     rpy = jnp.repeat(py, spp)
     origin, direction = camera_mod.generate_rays(
-        scene.camera, width, height, rpx, rpy, jitter
+        scene.camera, width, height, rpx, rpy, jitter[0], jitter[1]
     )
 
     radiance, rays = integrator.trace(
         scene, origin, direction, uniforms, max_bounces,
         method=method, texture_mode=texture_mode,
     )
-    rgb = radiance.reshape(p, spp, 3).mean(axis=1)
+    rgb = jnp.stack(
+        [
+            radiance.x.reshape(p, spp).mean(axis=1),
+            radiance.y.reshape(p, spp).mean(axis=1),
+            radiance.z.reshape(p, spp).mean(axis=1),
+        ],
+        axis=-1,
+    )
     return rgb, rays
 
 

@@ -71,3 +71,15 @@ def quad_mesh(z: float = 0.0, half: float = 1.0) -> HostMesh:
         np.float32,
     )
     return HostMesh(positions=p, normals=n, uvs=uv, mat_id=np.zeros(2, np.int32))
+
+
+def vec3_of(a):
+    """(R, 3) numpy -> Vec3 of (R,) jnp planes (test convenience)."""
+    import jax.numpy as jnp
+
+    from raytracing_c_tpu.utils.vec3 import Vec3
+
+    a = np.asarray(a, np.float32).reshape(-1, 3)
+    return Vec3(
+        x=jnp.asarray(a[:, 0]), y=jnp.asarray(a[:, 1]), z=jnp.asarray(a[:, 2])
+    )

@@ -14,7 +14,7 @@ from raytracing_c_tpu.models.bvh import (
 )
 from raytracing_c_tpu.ops import intersect, traverse
 
-from helpers import random_mesh, random_rays, simple_scene
+from helpers import random_mesh, random_rays, simple_scene, vec3_of
 
 W = BVH_WIDTH
 
@@ -54,8 +54,7 @@ def test_build_invariants(n, rng):
     assert sorted(placed.tolist()) == list(range(n))
 
     # child AABBs contain their triangles (walk the implicit tree)
-    mins = np.asarray(bvh.mins)
-    maxs = np.asarray(bvh.maxs)
+    mins, maxs = bvh.child_boxes_np()
     tri_min = mesh.positions.min(axis=1) - EPSILON
     tri_max = mesh.positions.max(axis=1) + EPSILON
 
@@ -92,8 +91,8 @@ def test_traversal_matches_bruteforce(n, rng):
     scene = simple_scene(mesh)
     origin, direction = random_rays(256, rng)
 
-    o = jnp.asarray(origin)
-    d = jnp.asarray(direction)
+    o = vec3_of(origin)
+    d = vec3_of(direction)
     brute = intersect.intersect_bruteforce(o, d, scene.triangles)
     bvh_hit = traverse.intersect_bvh(o, d, scene.triangles, scene.bvh)
 
@@ -122,7 +121,7 @@ def test_inactive_rays_skip(rng):
     origin, direction = random_rays(32, rng)
     active = jnp.zeros((32,), bool)
     hit = traverse.intersect_bvh(
-        jnp.asarray(origin), jnp.asarray(direction),
+        vec3_of(origin), vec3_of(direction),
         scene.triangles, scene.bvh, active,
     )
     assert not np.isfinite(np.asarray(hit["t"])).any()

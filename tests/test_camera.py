@@ -10,10 +10,10 @@ from raytracing_c_tpu.render.camera import generate_rays
 def _rays(cam, w, h, px, py, jx=0.5, jy=0.5):
     px = jnp.asarray(np.atleast_1d(px), jnp.int32)
     py = jnp.asarray(np.atleast_1d(py), jnp.int32)
-    jit = jnp.full((px.shape[0], 2), 0.0, jnp.float32)
-    jit = jit.at[:, 0].set(jx).at[:, 1].set(jy)
-    o, d = generate_rays(cam, w, h, px, py, jit)
-    return np.asarray(o), np.asarray(d)
+    ju = jnp.full((px.shape[0],), jx, jnp.float32)
+    jv = jnp.full((px.shape[0],), jy, jnp.float32)
+    o, d = generate_rays(cam, w, h, px, py, ju, jv)
+    return np.asarray(o.to_array()), np.asarray(d.to_array())
 
 
 def test_center_ray_points_forward():

@@ -5,48 +5,56 @@ import jax
 import jax.numpy as jnp
 
 from raytracing_c_tpu.ops import disney
+from raytracing_c_tpu.utils.vec3 import Vec3
+
+from helpers import vec3_of
 
 
 def test_cosine_hemisphere_distribution():
     key = jax.random.PRNGKey(0)
-    u = jax.random.uniform(key, (4096, 2))
-    d = np.asarray(disney.sample_cosine_hemisphere(u[:, 0], u[:, 1]))
-    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-4)
-    assert (d[:, 2] >= 0).all()
+    u = jax.random.uniform(key, (2, 4096))
+    d = disney.sample_cosine_hemisphere(u[0], u[1])
+    arr = np.asarray(d.to_array())
+    np.testing.assert_allclose(np.linalg.norm(arr, axis=-1), 1.0, atol=1e-4)
+    assert (arr[:, 2] >= 0).all()
     # cosine-weighted: E[cos] = 2/3
-    assert np.isclose(d[:, 2].mean(), 2.0 / 3.0, atol=0.02)
+    assert np.isclose(arr[:, 2].mean(), 2.0 / 3.0, atol=0.02)
 
 
 def test_vndf_half_vectors_upper_hemisphere():
     key = jax.random.PRNGKey(1)
-    u = jax.random.uniform(key, (1024, 2))
-    v = jnp.broadcast_to(
-        jnp.asarray([0.3, -0.2, 0.93], jnp.float32), (1024, 3)
-    )
-    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    u = jax.random.uniform(key, (2, 1024))
+    v = np.array([0.3, -0.2, 0.93])
+    v = v / np.linalg.norm(v)
+    vv = vec3_of(np.tile(v, (1024, 1)))
     ax = jnp.full((1024,), 0.25)
-    m = np.asarray(disney.sample_ggx_vndf(v, ax, ax, u[:, 0], u[:, 1]))
-    np.testing.assert_allclose(np.linalg.norm(m, axis=-1), 1.0, atol=1e-4)
-    assert (m[:, 2] >= 0).all()
+    m = disney.sample_ggx_vndf(vv, ax, ax, u[0], u[1])
+    arr = np.asarray(m.to_array())
+    np.testing.assert_allclose(np.linalg.norm(arr, axis=-1), 1.0, atol=1e-4)
+    assert (arr[:, 2] >= 0).all()
     # visible-normal sampling: dot(V, m) >= 0
-    assert (np.asarray((v * m).sum(-1)) >= -1e-5).all()
+    assert (arr @ v >= -1e-5).all()
 
 
 def _sample(base=(0.8, 0.8, 0.8), rough=0.5, metal=0.0, sheen=0.0,
             sheen_tint=0.0, aniso=0.0, in_z=0.8, n=512, seed=3):
     key = jax.random.PRNGKey(seed)
-    u = jax.random.uniform(key, (n, 3))
-    in_dir = jnp.broadcast_to(
-        jnp.asarray([np.sqrt(1 - in_z**2), 0.0, in_z], jnp.float32), (n, 3)
+    u = jax.random.uniform(key, (3, n))
+    in_dir = vec3_of(
+        np.tile([np.sqrt(max(1 - in_z**2, 0)), 0.0, in_z], (n, 1))
     )
     f = jnp.full
     out, rgb, pdf = disney.sample_disney_brdf(
-        jnp.broadcast_to(jnp.asarray(base, jnp.float32), (n, 3)),
+        Vec3.splat(base, (n,)),
         f((n,), rough), f((n,), metal), f((n,), sheen),
         f((n,), sheen_tint), f((n,), aniso * aniso),
-        in_dir, u[:, 0], u[:, 1], u[:, 2],
+        in_dir, u[0], u[1], u[2],
     )
-    return map(np.asarray, (out, rgb, pdf))
+    return (
+        np.asarray(out.to_array()),
+        np.asarray(rgb.to_array()),
+        np.asarray(pdf),
+    )
 
 
 def test_diffuse_tint_bounded_by_albedo():
@@ -62,12 +70,10 @@ def test_diffuse_tint_bounded_by_albedo():
 def test_smooth_metal_mirrors():
     out, rgb, pdf = _sample(rough=0.001, metal=1.0, in_z=0.7)
     ok = pdf > 0
-    # perfect mirror about z: out ~= (-in.x, -in.y, in.z)
     in_dir = np.array([np.sqrt(1 - 0.49), 0.0, 0.7])
     expect = np.array([-in_dir[0], 0.0, in_dir[2]])
     err = np.linalg.norm(out[ok] - expect, axis=-1)
     assert np.median(err) < 0.02
-    # metallic tint carries the base color ratio
     tint = rgb[ok] / pdf[ok][:, None]
     assert np.isfinite(tint).all()
 
@@ -86,23 +92,25 @@ def test_sheen_adds_energy_at_grazing():
 
 
 def test_normal_map_identity_when_absent():
-    n = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
-    t = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
-    b = jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32)
-    tex = jnp.asarray([[0.1, 0.9, 0.8]], jnp.float32)
+    n = vec3_of([[0.0, 0.0, 1.0]])
+    t = vec3_of([[1.0, 0.0, 0.0]])
+    b = vec3_of([[0.0, 1.0, 0.0]])
+    tex = vec3_of([[0.1, 0.9, 0.8]])
     out = disney.apply_normal_map(
         n, t, b, tex, jnp.asarray([1.0]), jnp.asarray([False])
     )
-    np.testing.assert_allclose(np.asarray(out), [[0, 0, 1]])
+    np.testing.assert_allclose(np.asarray(out.to_array()), [[0, 0, 1]])
 
 
 def test_normal_map_flat_texture_is_identity():
     # (0.5, 0.5, 1.0) encodes "no perturbation" (with green flip symmetric)
-    n = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
-    t = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
-    b = jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32)
-    tex = jnp.asarray([[0.5, 0.5, 1.0]], jnp.float32)
+    n = vec3_of([[0.0, 0.0, 1.0]])
+    t = vec3_of([[1.0, 0.0, 0.0]])
+    b = vec3_of([[0.0, 1.0, 0.0]])
+    tex = vec3_of([[0.5, 0.5, 1.0]])
     out = disney.apply_normal_map(
         n, t, b, tex, jnp.asarray([1.0]), jnp.asarray([True])
     )
-    np.testing.assert_allclose(np.asarray(out), [[0, 0, 1]], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.to_array()), [[0, 0, 1]], atol=1e-6
+    )

@@ -7,21 +7,18 @@ import jax.numpy as jnp
 from raytracing_c_tpu.models.scene import SHADER_DEBUG_NORMAL
 from raytracing_c_tpu.render import integrator
 
-from helpers import quad_mesh, simple_scene
+from helpers import quad_mesh, simple_scene, vec3_of
 
 BG = (0.25, 0.5, 0.75)
 
 
 def _trace(scene, origins, dirs, bounces=4, seed=0, method="brute"):
     r = len(origins)
-    uni = jax.random.uniform(jax.random.PRNGKey(seed), (r, bounces, 4))
+    uni = jax.random.uniform(jax.random.PRNGKey(seed), (bounces, 4, r))
     rad, rays = integrator.trace(
-        scene,
-        jnp.asarray(origins, jnp.float32),
-        jnp.asarray(dirs, jnp.float32),
-        uni, bounces, method=method,
+        scene, vec3_of(origins), vec3_of(dirs), uni, bounces, method=method,
     )
-    return np.asarray(rad), float(rays)
+    return np.asarray(rad.to_array()), float(rays)
 
 
 def test_miss_returns_background():
@@ -33,9 +30,13 @@ def test_miss_returns_background():
 
 def test_emissive_hit_accumulates_emission():
     scene = simple_scene(quad_mesh(), bg=BG)
+    from raytracing_c_tpu.utils.vec3 import Vec3
+
     scene = scene.replace(
         materials=scene.materials.replace(
-            emission=jnp.asarray([[1.0, 2.0, 3.0]], jnp.float32)
+            emission=Vec3(
+                x=jnp.asarray([1.0]), y=jnp.asarray([2.0]), z=jnp.asarray([3.0])
+            )
         )
     )
     rad, _ = _trace(scene, [[0, 0, 3]], [[0, 0, -1]], bounces=1)

@@ -6,7 +6,7 @@ import pytest
 
 from raytracing_c_tpu.ops import intersect, traverse
 
-from helpers import random_mesh, random_rays, simple_scene
+from helpers import random_mesh, random_rays, simple_scene, vec3_of
 
 
 def _cmp_t(a, b):
@@ -23,7 +23,7 @@ def test_verified_topk_exact(n, rng):
     mesh = random_mesh(n, rng)
     scene = simple_scene(mesh)
     origin, direction = random_rays(512, rng)
-    o, d = jnp.asarray(origin), jnp.asarray(direction)
+    o, d = vec3_of(origin), vec3_of(direction)
 
     brute = intersect.intersect_bruteforce(o, d, scene.triangles)
     ver = traverse.intersect_bvh_verified(o, d, scene.triangles, scene.bvh)
@@ -38,7 +38,7 @@ def test_fast_topk_close_to_oracle(rng):
     mesh = random_mesh(1500, rng)
     scene = simple_scene(mesh)
     origin, direction = random_rays(512, rng)
-    o, d = jnp.asarray(origin), jnp.asarray(direction)
+    o, d = vec3_of(origin), vec3_of(direction)
 
     brute = intersect.intersect_bruteforce(o, d, scene.triangles)
     fast = traverse.intersect_bvh_topk(o, d, scene.triangles, scene.bvh)
@@ -57,7 +57,7 @@ def test_topk_camera_rays_on_structured_scene(rng):
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
     origin = np.tile([[0.0, 0.0, 3.0]], (len(dirs), 1)).astype(np.float32)
 
-    o, d = jnp.asarray(origin), jnp.asarray(dirs.astype(np.float32))
+    o, d = vec3_of(origin), vec3_of(dirs.astype(np.float32))
     brute = intersect.intersect_bruteforce(o, d, scene.triangles)
     ver = traverse.intersect_bvh_verified(o, d, scene.triangles, scene.bvh)
     got, want = _cmp_t(np.asarray(ver["t"]), np.asarray(brute["t"]))
@@ -68,7 +68,7 @@ def test_chunked_bruteforce_matches_dense(rng):
     mesh = random_mesh(700, rng)
     scene = simple_scene(mesh)
     origin, direction = random_rays(128, rng)
-    o, d = jnp.asarray(origin), jnp.asarray(direction)
+    o, d = vec3_of(origin), vec3_of(direction)
     dense = intersect.intersect_bruteforce(o, d, scene.triangles)
     chunked = traverse.intersect_bruteforce_chunked(
         o, d, scene.triangles, chunk=256
@@ -82,7 +82,7 @@ def test_topk_inactive_rays(rng):
     scene = simple_scene(mesh)
     origin, direction = random_rays(64, rng)
     hit = traverse.intersect_bvh_verified(
-        jnp.asarray(origin), jnp.asarray(direction),
+        vec3_of(origin), vec3_of(direction),
         scene.triangles, scene.bvh, active=jnp.zeros((64,), bool),
     )
     assert not np.isfinite(np.asarray(hit["t"])).any()
@@ -93,7 +93,7 @@ def test_topk_depth1_scene(rng):
     mesh = random_mesh(10, rng)
     scene = simple_scene(mesh)
     origin, direction = random_rays(128, rng)
-    o, d = jnp.asarray(origin), jnp.asarray(direction)
+    o, d = vec3_of(origin), vec3_of(direction)
     brute = intersect.intersect_bruteforce(o, d, scene.triangles)
     ver = traverse.intersect_bvh_verified(o, d, scene.triangles, scene.bvh)
     got, want = _cmp_t(np.asarray(ver["t"]), np.asarray(brute["t"]))

@@ -26,8 +26,7 @@ _EDGES = [
 
 def dump_bvh_obj(scene, out_path: str) -> dict:
     """Write wireframe AABBs per level; returns {depth: n_boxes}."""
-    mins = np.asarray(scene.bvh.mins)  # (n_internal, 8, 3)
-    maxs = np.asarray(scene.bvh.maxs)
+    mins, maxs = scene.bvh.child_boxes_np()  # (n_internal, 8, 3) each
     depth = scene.bvh.depth
 
     lines = ["# BVH wireframe dump (one object per level)"]
