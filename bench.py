@@ -41,7 +41,7 @@ def main() -> int:
 
     # pixel batches (identical shapes -> one compile)
     spp = SPP
-    batch_pixels = 131072
+    batch_pixels = 16384  # x16 spp = 262144 rays per device program
     n_pixels = WIDTH * HEIGHT
     n_batches = (n_pixels + batch_pixels - 1) // batch_pixels
     xs = np.arange(n_pixels, dtype=np.int32) % WIDTH

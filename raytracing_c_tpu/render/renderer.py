@@ -119,8 +119,9 @@ def render(
 
     n_pixels = width * height
     if batch_pixels is None:
-        # bound the live ray arena to ~2M rays
-        batch_pixels = max(1, min(n_pixels, (2_097_152 // max(spp, 1))))
+        # bound the live ray arena: top-k traversal materializes a few
+        # (k_leaf*8, R) intermediates, so ~256k rays keeps them ~128 MB each
+        batch_pixels = max(1, min(n_pixels, (262_144 // max(spp, 1))))
     n_dev = 1
     if mesh is not None:
         n_dev = int(np.prod(list(mesh.shape.values())))
