@@ -96,6 +96,12 @@ class Triangles(struct.PyTreeNode):
     uv2u: Any
     uv2v: Any
     mat_id: Any  # (N,) i32, -1 for padding slots
+    #: (n_blocks, 128) f32 — one leaf block per row: 9 component groups of 8
+    #: lanes [v0.x*8 | v0.y*8 | v0.z*8 | e1.* | e2.*] + 56 pad lanes. TPU
+    #: gathers are fast ONLY as row gathers (per-lane-varying indices cost
+    #: ~7 cycles/element); a 512-byte row is exactly one (8,128)-tile row,
+    #: so the traversal fetches whole blocks by id at HBM bandwidth.
+    leaf_rows: Any = None
 
     @property
     def capacity(self) -> int:
@@ -350,7 +356,22 @@ def pack_triangles(mesh: HostMesh, slot_map: np.ndarray) -> Triangles:
     mat[~valid] = -1
 
     v0, v1, v2 = pos[:, 0], pos[:, 1], pos[:, 2]
+
+    # leaf block row table: (n_blocks, 128) with 9 groups of 8 lanes
+    n_blocks = capacity // BVH_WIDTH
+    comps = np.stack(
+        [v0[:, 0], v0[:, 1], v0[:, 2],
+         (v1 - v0)[:, 0], (v1 - v0)[:, 1], (v1 - v0)[:, 2],
+         (v2 - v0)[:, 0], (v2 - v0)[:, 1], (v2 - v0)[:, 2]],
+        axis=1,
+    )  # (capacity, 9)
+    rows = np.zeros((n_blocks, 128), np.float32)
+    rows[:, : 9 * BVH_WIDTH] = (
+        comps.reshape(n_blocks, BVH_WIDTH, 9).transpose(0, 2, 1).reshape(n_blocks, -1)
+    )
+
     return Triangles(
+        leaf_rows=jnp.asarray(rows),
         v0=_vec3_planes(v0),
         e1=_vec3_planes(v1 - v0),
         e2=_vec3_planes(v2 - v0),

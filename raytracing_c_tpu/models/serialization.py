@@ -28,7 +28,9 @@ from raytracing_c_tpu.utils.vec3 import Vec3
 FORMAT_VERSION = 2  # v2: component-plane layout
 
 _TRI_VEC = ("v0", "e1", "e2", "n0", "n1", "n2", "ng", "tangent", "bitangent")
-_TRI_SCALAR = ("uv0u", "uv0v", "uv1u", "uv1v", "uv2u", "uv2v", "mat_id")
+_TRI_SCALAR = (
+    "uv0u", "uv0v", "uv1u", "uv1v", "uv2u", "uv2v", "mat_id", "leaf_rows",
+)
 _MAT_VEC = ("base_color", "emission")
 _MAT_SCALAR = (
     "roughness", "metalness", "normal_strength", "sheen", "sheen_tint",

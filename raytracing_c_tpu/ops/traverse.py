@@ -46,12 +46,51 @@ def _leaf_mt(origin, direction, triangles, tri_idx):
     """Moller-Trumbore against gathered triangle slots.
 
     tri_idx: int array shaped C + (R,); origin/direction Vec3 of (R,).
-    Returns (t, u, v) shaped like tri_idx.
+    Returns (t, u, v) shaped like tri_idx. Per-lane gathers — slow on TPU;
+    used only by the oracle paths (DFS / chunked brute force).
     """
     v0 = triangles.v0.gather(tri_idx)
     e1 = triangles.e1.gather(tri_idx)
     e2 = triangles.e2.gather(tri_idx)
     return intersect.moller_trumbore(origin, direction, v0, e1, e2)
+
+
+def _leaf_mt_rows(origin, direction, triangles, blocks):
+    """Moller-Trumbore against whole leaf blocks via ROW gathers.
+
+    TPU gathers run at memory speed only when each index fetches a full
+    (8,128)-tile row; per-lane-varying gathers cost ~7 cycles per element
+    (measured ~60 ms for (128, 64k) lookups). The leaf row table packs each
+    8-triangle block into one 512-byte row (models/scene.py), so the fetch
+    here is `n_rays * k_leaf` row gathers at HBM bandwidth, followed by one
+    transpose back to batch-minor and free static reshapes.
+
+    blocks: (kl, R) block ids. Returns (t, u, v), each (kl*8, R),
+    block-major rows (row = block * 8 + lane).
+    """
+    kl, r = blocks.shape
+    g = triangles.leaf_rows[blocks]  # (kl, R, 128) row gather
+    gt = jnp.transpose(g, (0, 2, 1))  # (kl, 128, R) — one bandwidth pass
+    c = gt.reshape(kl, 16, W, r)  # 16 groups of 8 lanes; 9 used
+    v0 = Vec3(c[:, 0], c[:, 1], c[:, 2])  # components (kl, 8, R)
+    e1 = Vec3(c[:, 3], c[:, 4], c[:, 5])
+    e2 = Vec3(c[:, 6], c[:, 7], c[:, 8])
+    t, u, v = intersect.moller_trumbore(origin, direction, v0, e1, e2)
+    return (
+        t.reshape(kl * W, r),
+        u.reshape(kl * W, r),
+        v.reshape(kl * W, r),
+    )
+
+
+def _select_row(values, j):
+    """values[j[r], r] per column WITHOUT a per-lane gather: one-hot mask +
+    sum over the (small) leading axis — dense VPU work."""
+    c = values.shape[0]
+    one_hot = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0) == j[None, :]
+    )
+    return jnp.where(one_hot, values, 0).sum(axis=0, dtype=values.dtype)
 
 
 def intersect_bvh(origin: Vec3, direction: Vec3, triangles, bvh, active=None):
@@ -183,7 +222,6 @@ def intersect_bvh_topk(
 
     inv_dir = Vec3(1.0 / direction.x, 1.0 / direction.y, 1.0 / direction.z)
     lane = jnp.arange(W, dtype=jnp.int32)
-    rr = jnp.arange(r)
 
     # level 0: root children
     bmin, bmax = _node_boxes(bvh, jnp.zeros((), jnp.int32))  # Vec3 (8,)
@@ -231,23 +269,24 @@ def intersect_bvh_topk(
         blk_ids, blk_d = cand_ids, cand_d
 
     blocks = jnp.clip(blk_ids - n_internal, 0, n_blocks - 1)  # (kl, R)
+    t, u, v = _leaf_mt_rows(origin, direction, triangles, blocks)
+    # block-major rows: row = block_slot * 8 + lane
     tri_idx = (
-        blocks[None, :, :] * W + lane[:, None, None]
-    ).reshape(W * kl, r)
-    t, u, v = _leaf_mt(origin, direction, triangles, tri_idx)
+        blocks[:, None, :] * W + lane[None, :, None]
+    ).reshape(kl * W, r)
     valid = jnp.broadcast_to(
-        jnp.isfinite(blk_d)[None, :, :], (W, kl, r)
-    ).reshape(W * kl, r)
+        jnp.isfinite(blk_d)[:, None, :], (kl, W, r)
+    ).reshape(kl * W, r)
     t = jnp.where(valid, t, INF)
 
     j = jnp.argmin(t, axis=0)
-    tb = t[j, rr]
+    tb = t.min(axis=0)
     hit = jnp.isfinite(tb)
     out = {
         "t": tb,
-        "tri": jnp.where(hit, tri_idx[j, rr].astype(jnp.int32), -1),
-        "u": u[j, rr],
-        "v": v[j, rr],
+        "tri": jnp.where(hit, _select_row(tri_idx, j).astype(jnp.int32), -1),
+        "u": _select_row(u, j),
+        "v": _select_row(v, j),
     }
     if with_bound:
         out["dropped_min"] = dropped_min
@@ -274,17 +313,16 @@ def intersect_bruteforce_chunked(
     n = triangles.capacity
     n_chunks = (n + chunk - 1) // chunk
     lane = jnp.arange(chunk, dtype=jnp.int32)
-    rr = jnp.arange(r)
 
     def body(c, best):
         idx = jnp.clip(c * chunk + lane, 0, n - 1)[:, None]  # (chunk, 1)
         t, u, v = _leaf_mt(origin, direction, triangles, idx)  # (chunk, R)
         j = jnp.argmin(t, axis=0)
         cand = {
-            "t": t[j, rr],
+            "t": t.min(axis=0),
             "tri": idx[j, 0].astype(jnp.int32),
-            "u": u[j, rr],
-            "v": v[j, rr],
+            "u": _select_row(u, j),
+            "v": _select_row(v, j),
         }
         return _merge_hits(best, cand)
 
