@@ -133,7 +133,7 @@ def main(argv: list[str] | None = None) -> int:
                 shader_kind=jnp.full_like(
                     scene.materials.shader_kind, SHADER_DEBUG_NORMAL
                 )
-            )
+            ).with_rows()
         )
 
     if cfg["save_scene"]:

@@ -63,7 +63,7 @@ class AtlasBuilder:
             offset=jnp.asarray(np.array(offsets, np.int32)),
             width=jnp.asarray(np.array(widths, np.int32)),
             height=jnp.asarray(np.array(heights, np.int32)),
-        )
+        ).with_pages()
 
 
 @dataclass
@@ -120,4 +120,4 @@ def build_material_table(mats: list[HostMaterial]) -> MaterialTable:
         shader_kind=jnp.asarray(
             np.array([m.shader_kind for m in mats], np.int32)
         ),
-    )
+    ).with_rows()

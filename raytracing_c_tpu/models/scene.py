@@ -48,6 +48,33 @@ BG_EQUIRECT = 1
 # rows [c*8 + j] for c in (min.x, min.y, min.z, max.x, max.y, max.z), j in 0..7
 NODE_ROWS = 48
 
+# Column layout of Triangles.attr_rows (per-triangle shading attributes).
+ATTR_N0 = 0  # 0-2   vertex normal a
+ATTR_N1 = 3  # 3-5   vertex normal b
+ATTR_N2 = 6  # 6-8   vertex normal c
+ATTR_NG = 9  # 9-11  geometric normal
+ATTR_TAN = 12  # 12-14 tangent
+ATTR_BTN = 15  # 15-17 bitangent
+ATTR_UV = 18  # 18-23 uv0u, uv0v, uv1u, uv1v, uv2u, uv2v
+ATTR_MAT = 24  # 24    material id (stored as f32)
+ATTR_COLS = 25
+
+# Column layout of MaterialTable.rows (one row per material).
+MROW_BASE = 0  # 0-2 base color
+MROW_EMI = 3  # 3-5 emission
+MROW_ROUGH = 6
+MROW_METAL = 7
+MROW_NSTR = 8
+MROW_SHEEN = 9
+MROW_SHEENT = 10
+MROW_ANISO = 11
+MROW_TEX_ALBEDO = 12  # texture ids stored as f32 (-1 = none)
+MROW_TEX_NORMAL = 13
+MROW_TEX_MR = 14
+MROW_TEX_EMI = 15
+MROW_KIND = 16
+MROW_COLS = 17
+
 
 class Camera(struct.PyTreeNode):
     """Pinhole camera (reference scene.h:14-17). `view_matrix` is
@@ -102,6 +129,11 @@ class Triangles(struct.PyTreeNode):
     #: ~7 cycles/element); a 512-byte row is exactly one (8,128)-tile row,
     #: so the traversal fetches whole blocks by id at HBM bandwidth.
     leaf_rows: Any = None
+    #: (capacity, 128) f32 — per-triangle shading attributes as one row:
+    #: [n0 n1 n2 ng tangent bitangent](18) [uv0 uv1 uv2](6) [mat_id](1).
+    #: The shade stage fetches ONE row per hit instead of ~25 per-lane
+    #: gathers (see ATTR_* constants).
+    attr_rows: Any = None
 
     @property
     def capacity(self) -> int:
@@ -152,6 +184,32 @@ class MaterialTable(struct.PyTreeNode):
     tex_mr: Any
     tex_emission: Any
     shader_kind: Any  # (M,) i32
+    #: (M, 128) f32 — all parameters as one row per material (MROW_* cols);
+    #: the shade stage fetches ONE row per ray (TPU row-gather fast path)
+    rows: Any = None
+
+    def with_rows(self) -> "MaterialTable":
+        """(Re)build the packed row table from the field arrays."""
+        m = self.roughness.shape[0]
+        rows = np.zeros((m, 128), np.float32)
+        rows[:, MROW_BASE + 0] = np.asarray(self.base_color.x)
+        rows[:, MROW_BASE + 1] = np.asarray(self.base_color.y)
+        rows[:, MROW_BASE + 2] = np.asarray(self.base_color.z)
+        rows[:, MROW_EMI + 0] = np.asarray(self.emission.x)
+        rows[:, MROW_EMI + 1] = np.asarray(self.emission.y)
+        rows[:, MROW_EMI + 2] = np.asarray(self.emission.z)
+        rows[:, MROW_ROUGH] = np.asarray(self.roughness)
+        rows[:, MROW_METAL] = np.asarray(self.metalness)
+        rows[:, MROW_NSTR] = np.asarray(self.normal_strength)
+        rows[:, MROW_SHEEN] = np.asarray(self.sheen)
+        rows[:, MROW_SHEENT] = np.asarray(self.sheen_tint)
+        rows[:, MROW_ANISO] = np.asarray(self.anisotropic)
+        rows[:, MROW_TEX_ALBEDO] = np.asarray(self.tex_albedo)
+        rows[:, MROW_TEX_NORMAL] = np.asarray(self.tex_normal)
+        rows[:, MROW_TEX_MR] = np.asarray(self.tex_mr)
+        rows[:, MROW_TEX_EMI] = np.asarray(self.tex_emission)
+        rows[:, MROW_KIND] = np.asarray(self.shader_kind)
+        return self.replace(rows=jnp.asarray(rows))
 
     @staticmethod
     def default(n: int = 1) -> "MaterialTable":
@@ -170,7 +228,7 @@ class MaterialTable(struct.PyTreeNode):
             tex_mr=jnp.full((n,), -1, jnp.int32),
             tex_emission=jnp.full((n,), -1, jnp.int32),
             shader_kind=jnp.zeros((n,), jnp.int32),
-        )
+        ).with_rows()
 
 
 class TextureAtlas(struct.PyTreeNode):
@@ -189,6 +247,20 @@ class TextureAtlas(struct.PyTreeNode):
     offset: Any  # (K,) i32
     width: Any  # (K,) i32
     height: Any  # (K,) i32
+    #: (ceil(T/128), 128) u32 — texels packed r<<16|g<<8|b in 128-lane pages;
+    #: a tap fetches one page row (fast) and extracts its lane with a dense
+    #: one-hot reduce instead of a per-lane gather
+    pages: Any = None
+
+    def with_pages(self) -> "TextureAtlas":
+        r = np.asarray(self.tex_r).astype(np.uint32)
+        g = np.asarray(self.tex_g).astype(np.uint32)
+        b = np.asarray(self.tex_b).astype(np.uint32)
+        packed = (r << 16) | (g << 8) | b
+        t = len(packed)
+        pages = np.zeros((max((t + 127) // 128, 1), 128), np.uint32)
+        pages.reshape(-1)[:t] = packed
+        return self.replace(pages=jnp.asarray(pages))
 
     @staticmethod
     def empty() -> "TextureAtlas":
@@ -198,7 +270,7 @@ class TextureAtlas(struct.PyTreeNode):
             offset=jnp.zeros((1,), jnp.int32),
             width=jnp.ones((1,), jnp.int32),
             height=jnp.ones((1,), jnp.int32),
-        )
+        ).with_pages()
 
 
 class Spheres(struct.PyTreeNode):
@@ -370,8 +442,19 @@ def pack_triangles(mesh: HostMesh, slot_map: np.ndarray) -> Triangles:
         comps.reshape(n_blocks, BVH_WIDTH, 9).transpose(0, 2, 1).reshape(n_blocks, -1)
     )
 
+    attr = np.zeros((capacity, 128), np.float32)
+    attr[:, ATTR_N0:ATTR_N0 + 3] = nrm[:, 0]
+    attr[:, ATTR_N1:ATTR_N1 + 3] = nrm[:, 1]
+    attr[:, ATTR_N2:ATTR_N2 + 3] = nrm[:, 2]
+    attr[:, ATTR_NG:ATTR_NG + 3] = ng
+    attr[:, ATTR_TAN:ATTR_TAN + 3] = tan
+    attr[:, ATTR_BTN:ATTR_BTN + 3] = btn
+    attr[:, ATTR_UV:ATTR_UV + 6] = uv.reshape(capacity, 6)
+    attr[:, ATTR_MAT] = mat.astype(np.float32)
+
     return Triangles(
         leaf_rows=jnp.asarray(rows),
+        attr_rows=jnp.asarray(attr),
         v0=_vec3_planes(v0),
         e1=_vec3_planes(v1 - v0),
         e2=_vec3_planes(v2 - v0),

@@ -25,19 +25,20 @@ from raytracing_c_tpu.models.scene import (
 )
 from raytracing_c_tpu.utils.vec3 import Vec3
 
-FORMAT_VERSION = 2  # v2: component-plane layout
+FORMAT_VERSION = 3  # v3: + packed row tables (attrs/materials/texture pages)
 
 _TRI_VEC = ("v0", "e1", "e2", "n0", "n1", "n2", "ng", "tangent", "bitangent")
 _TRI_SCALAR = (
-    "uv0u", "uv0v", "uv1u", "uv1v", "uv2u", "uv2v", "mat_id", "leaf_rows",
+    "uv0u", "uv0v", "uv1u", "uv1v", "uv2u", "uv2v", "mat_id",
+    "leaf_rows", "attr_rows",
 )
 _MAT_VEC = ("base_color", "emission")
 _MAT_SCALAR = (
     "roughness", "metalness", "normal_strength", "sheen", "sheen_tint",
     "anisotropic", "tex_albedo", "tex_normal", "tex_mr", "tex_emission",
-    "shader_kind",
+    "shader_kind", "rows",
 )
-_ATLAS = ("tex_r", "tex_g", "tex_b", "offset", "width", "height")
+_ATLAS = ("tex_r", "tex_g", "tex_b", "offset", "width", "height", "pages")
 
 
 def _save_vec3(data: dict, prefix: str, v: Vec3) -> None:

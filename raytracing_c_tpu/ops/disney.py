@@ -277,22 +277,30 @@ def shade(scene, direction: Vec3, normal: Vec3, normal_geo: Vec3,
     spare). Returns dict(direction, tint, emission, terminate, normal)
     mirroring Shader_Output (scene.h:24-28).
     """
-    mats = scene.materials
-    mid = jnp.maximum(mat_id, 0)
+    from raytracing_c_tpu.models.scene import (
+        MROW_ANISO, MROW_BASE, MROW_EMI, MROW_KIND, MROW_METAL, MROW_NSTR,
+        MROW_ROUGH, MROW_SHEEN, MROW_SHEENT, MROW_TEX_ALBEDO, MROW_TEX_EMI,
+        MROW_TEX_MR, MROW_TEX_NORMAL,
+    )
 
-    base_color = mats.base_color.gather(mid)
-    emission = mats.emission.gather(mid)
-    rough = mats.roughness[mid]
-    metal = mats.metalness[mid]
-    nstr = mats.normal_strength[mid]
-    sheen = mats.sheen[mid]
-    sheen_tint = mats.sheen_tint[mid]
-    aniso = mats.anisotropic[mid]
-    t_alb = mats.tex_albedo[mid]
-    t_nrm = mats.tex_normal[mid]
-    t_mr = mats.tex_mr[mid]
-    t_emi = mats.tex_emission[mid]
-    kind = mats.shader_kind[mid]
+    mid = jnp.maximum(mat_id, 0)
+    # ONE material row gather per ray (row-gather fast path), then static
+    # column slices off the batch-minor transpose
+    m = jnp.transpose(scene.materials.rows[mid])  # (128, R)
+
+    base_color = Vec3(m[MROW_BASE], m[MROW_BASE + 1], m[MROW_BASE + 2])
+    emission = Vec3(m[MROW_EMI], m[MROW_EMI + 1], m[MROW_EMI + 2])
+    rough = m[MROW_ROUGH]
+    metal = m[MROW_METAL]
+    nstr = m[MROW_NSTR]
+    sheen = m[MROW_SHEEN]
+    sheen_tint = m[MROW_SHEENT]
+    aniso = m[MROW_ANISO]
+    t_alb = m[MROW_TEX_ALBEDO].astype(jnp.int32)
+    t_nrm = m[MROW_TEX_NORMAL].astype(jnp.int32)
+    t_mr = m[MROW_TEX_MR].astype(jnp.int32)
+    t_emi = m[MROW_TEX_EMI].astype(jnp.int32)
+    kind = m[MROW_KIND].astype(jnp.int32)
 
     # normal mapping
     nrm_tex = texture.sample(scene.atlas, t_nrm, uv_u, uv_v, texture_mode)

@@ -25,13 +25,29 @@ def _wrap01(x):
 
 
 def _fetch(atlas, off, w, x, y) -> Vec3:
-    """Flat gather of texel (x, y) -> Vec3 rgb in [0, 1]."""
-    idx = off + y * w + x
+    """Fetch texel (x, y) -> Vec3 rgb in [0, 1].
+
+    Texels are packed r<<16|g<<8|b in 128-lane u32 pages: the flat texel id
+    splits into (page row, lane); the page row gather is the TPU fast path,
+    and the lane extraction is a dense one-hot reduce — no per-lane gather.
+    """
+    import jax
+
+    idx = off + y * w + x  # (R,)
+    row = idx >> 7
+    lane = idx & 127
+    page = atlas.pages[row]  # (R, 128) u32 row gather
+    one_hot = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == lane[:, None]
+    )
+    packed = jnp.where(one_hot, page, jnp.uint32(0)).sum(
+        axis=1, dtype=jnp.uint32
+    )
     s = jnp.float32(1.0 / 255.999)
     return Vec3(
-        x=atlas.tex_r[idx].astype(jnp.float32) * s,
-        y=atlas.tex_g[idx].astype(jnp.float32) * s,
-        z=atlas.tex_b[idx].astype(jnp.float32) * s,
+        x=((packed >> 16) & 0xFF).astype(jnp.float32) * s,
+        y=((packed >> 8) & 0xFF).astype(jnp.float32) * s,
+        z=(packed & 0xFF).astype(jnp.float32) * s,
     )
 
 

@@ -33,20 +33,35 @@ from raytracing_c_tpu.utils.vec3 import Vec3
 def _gather_hit_geometry(scene, origin: Vec3, direction: Vec3, hit):
     """Deferred attribute interpolation: gather per-hit vertex data by the
     winning triangle index (the SIMD kernel interpolated inline,
-    raytracer.c:159-183; we defer it to one dense stage per bounce)."""
+    raytracer.c:159-183; we defer it to one dense stage per bounce).
+
+    ONE 512-byte attribute-row gather per ray (models/scene.py ATTR_*
+    layout) instead of ~25 per-lane gathers — the TPU row-gather fast path.
+    """
+    from raytracing_c_tpu.models.scene import (
+        ATTR_BTN, ATTR_MAT, ATTR_N0, ATTR_N1, ATTR_N2, ATTR_NG, ATTR_TAN,
+        ATTR_UV,
+    )
+
     tris = scene.triangles
     tri = jnp.maximum(hit["tri"], 0)
     u = hit["u"]
     v = hit["v"]
     w = 1.0 - u - v
 
-    normal = tris.n0.gather(tri) * w + tris.n1.gather(tri) * u + tris.n2.gather(tri) * v
-    uv_u = tris.uv0u[tri] * w + tris.uv1u[tri] * u + tris.uv2u[tri] * v
-    uv_v = tris.uv0v[tri] * w + tris.uv1v[tri] * u + tris.uv2v[tri] * v
-    ng = tris.ng.gather(tri)
-    tangent = tris.tangent.gather(tri)
-    bitangent = tris.bitangent.gather(tri)
-    mat_id = tris.mat_id[tri]
+    a = jnp.transpose(tris.attr_rows[tri])  # (128, R), batch-minor
+
+    def vec(c):
+        return Vec3(a[c], a[c + 1], a[c + 2])
+
+    n0, n1, n2 = vec(ATTR_N0), vec(ATTR_N1), vec(ATTR_N2)
+    normal = n0 * w + n1 * u + n2 * v
+    uv_u = a[ATTR_UV] * w + a[ATTR_UV + 2] * u + a[ATTR_UV + 4] * v
+    uv_v = a[ATTR_UV + 1] * w + a[ATTR_UV + 3] * u + a[ATTR_UV + 5] * v
+    ng = vec(ATTR_NG)
+    tangent = vec(ATTR_TAN)
+    bitangent = vec(ATTR_BTN)
+    mat_id = a[ATTR_MAT].astype(jnp.int32)
 
     point = origin + direction * hit["t"]
 

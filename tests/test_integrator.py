@@ -37,7 +37,7 @@ def test_emissive_hit_accumulates_emission():
             emission=Vec3(
                 x=jnp.asarray([1.0]), y=jnp.asarray([2.0]), z=jnp.asarray([3.0])
             )
-        )
+        ).with_rows()
     )
     rad, _ = _trace(scene, [[0, 0, 3]], [[0, 0, -1]], bounces=1)
     # single bounce: radiance = emission (throughput 1); no background since
@@ -66,7 +66,7 @@ def test_debug_shader_renders_normals():
     scene = scene.replace(
         materials=scene.materials.replace(
             shader_kind=jnp.asarray([SHADER_DEBUG_NORMAL], jnp.int32)
-        )
+        ).with_rows()
     )
     rad, _ = _trace(scene, [[0, 0, 3]], [[0, 0, -1]], bounces=4)
     # quad normal +z -> color (0.5, 0.5, 1.0); terminate stops the path

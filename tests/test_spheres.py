@@ -49,7 +49,7 @@ def test_sphere_shading_normal():
     scene = scene.replace(
         materials=scene.materials.replace(
             shader_kind=jnp.asarray([SHADER_DEBUG_NORMAL], jnp.int32)
-        )
+        ).with_rows()
     )
     rad, _ = integrator.trace(
         scene, o, d, uni, 2, method="brute"
