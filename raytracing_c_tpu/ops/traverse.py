@@ -269,24 +269,42 @@ def intersect_bvh_topk(
         blk_ids, blk_d = cand_ids, cand_d
 
     blocks = jnp.clip(blk_ids - n_internal, 0, n_blocks - 1)  # (kl, R)
-    t, u, v = _leaf_mt_rows(origin, direction, triangles, blocks)
-    # block-major rows: row = block_slot * 8 + lane
-    tri_idx = (
-        blocks[:, None, :] * W + lane[None, :, None]
-    ).reshape(kl * W, r)
-    valid = jnp.broadcast_to(
-        jnp.isfinite(blk_d)[:, None, :], (kl, W, r)
-    ).reshape(kl * W, r)
-    t = jnp.where(valid, t, INF)
 
-    j = jnp.argmin(t, axis=0)
-    tb = t.min(axis=0)
-    hit = jnp.isfinite(tb)
+    # leaf candidates processed in chunks so the (chunk, R, 128) row-gather
+    # transient stays a few hundred MB at production batch sizes
+    chunk = min(4, kl)
+    best_t = jnp.full((r,), INF)
+    best_tri = jnp.full((r,), -1, jnp.int32)
+    best_u = jnp.zeros((r,), jnp.float32)
+    best_v = jnp.zeros((r,), jnp.float32)
+    for c0 in range(0, kl, chunk):
+        ch = min(chunk, kl - c0)
+        blk_c = blocks[c0 : c0 + ch]  # (ch, R)
+        t, u, v = _leaf_mt_rows(origin, direction, triangles, blk_c)
+        valid = jnp.broadcast_to(
+            jnp.isfinite(blk_d[c0 : c0 + ch])[:, None, :], (ch, W, r)
+        ).reshape(ch * W, r)
+        t = jnp.where(valid, t, INF)
+        tri_c = (
+            blk_c[:, None, :] * W + lane[None, :, None]
+        ).reshape(ch * W, r)
+
+        j = jnp.argmin(t, axis=0)
+        tb = t.min(axis=0)
+        better = tb < best_t
+        best_tri = jnp.where(
+            better, _select_row(tri_c, j).astype(jnp.int32), best_tri
+        )
+        best_u = jnp.where(better, _select_row(u, j), best_u)
+        best_v = jnp.where(better, _select_row(v, j), best_v)
+        best_t = jnp.minimum(best_t, tb)
+
+    hit = jnp.isfinite(best_t)
     out = {
-        "t": tb,
-        "tri": jnp.where(hit, _select_row(tri_idx, j).astype(jnp.int32), -1),
-        "u": _select_row(u, j),
-        "v": _select_row(v, j),
+        "t": best_t,
+        "tri": jnp.where(hit, best_tri, -1),
+        "u": best_u,
+        "v": best_v,
     }
     if with_bound:
         out["dropped_min"] = dropped_min
