@@ -177,5 +177,17 @@ def trace(scene, origin: Vec3, direction: Vec3, uniforms, max_bounces: int,
             "rays": rays,
         }
 
-    st = jax.lax.fori_loop(0, max_bounces, bounce, state)
+    # while-loop over bounces: a batch whose rays have ALL terminated (e.g.
+    # a sky-only tile, or every path absorbed) stops early instead of
+    # paying the full bounce budget — the wavefront analog of the
+    # reference's per-pixel loop break (raytracer.c:539-556)
+    def cond(iv):
+        i, st = iv
+        return jnp.logical_and(i < max_bounces, jnp.any(st["active"]))
+
+    def body(iv):
+        i, st = iv
+        return i + 1, bounce(i, st)
+
+    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     return st["radiance"], st["rays"]
