@@ -104,6 +104,7 @@ def render(
     mesh: "jax.sharding.Mesh | None" = None,
     progress=None,
     texture_mode: str = "bilinear",
+    limit_batches: int | None = None,
 ):
     """Render a full image.
 
@@ -129,8 +130,17 @@ def render(
 
     # pad pixel count so every batch has identical shape (one compile)
     n_batches = (n_pixels + batch_pixels - 1) // batch_pixels
-    xs = np.arange(n_pixels, dtype=np.int32) % width
-    ys = np.arange(n_pixels, dtype=np.int32) // width
+    # tile-order pixels (the reference's 32x32 chunks, raytracer.c:601):
+    # batches then cover compact screen regions, so sky-only batches
+    # terminate after one bounce instead of dragging through the full loop
+    tile = 32
+    ids = np.arange(n_pixels, dtype=np.int64)
+    x = ids % width
+    y = ids // width
+    order = np.lexsort((x % tile, y % tile, x // tile, y // tile))
+    xs = x[order].astype(np.int32)
+    ys = y[order].astype(np.int32)
+    perm = order  # out[perm[i]] is the pixel rendered at position i
     pad = n_batches * batch_pixels - n_pixels
     if pad:
         xs = np.concatenate([xs, np.zeros(pad, np.int32)])
@@ -147,6 +157,9 @@ def render(
     out = np.zeros((n_pixels + pad, 3), np.float32)
     rays_total = 0.0
 
+    if limit_batches is not None:
+        n_batches = min(n_batches, limit_batches)
+
     t0 = time.perf_counter()
     for b in range(n_batches):
         sl = slice(b * batch_pixels, (b + 1) * batch_pixels)
@@ -160,7 +173,9 @@ def render(
             width=width, height=height, spp=spp, max_bounces=max_bounces,
             method=method, texture_mode=texture_mode,
         )
-        out[sl] = np.asarray(rgb)
+        lo = b * batch_pixels
+        hi = min((b + 1) * batch_pixels, n_pixels)
+        out[perm[lo:hi]] = np.asarray(rgb)[: hi - lo]
         rays_total += float(rays)
         if progress is not None:
             progress(b + 1, n_batches)
