@@ -199,8 +199,8 @@ def intersect_bvh(origin: Vec3, direction: Vec3, triangles, bvh, active=None):
 
 
 def intersect_bvh_topk(
-    origin: Vec3, direction: Vec3, triangles, bvh, active=None, k: int = 8,
-    k_leaf: int = 16, with_bound: bool = False,
+    origin: Vec3, direction: Vec3, triangles, bvh, active=None, k: int = 4,
+    k_leaf: int = 4, with_bound: bool = False,
 ):
     """Dense level-synchronous traversal — the TPU production path.
 
@@ -214,6 +214,10 @@ def intersect_bvh_topk(
     with_bound=True additionally returns `dropped_min`, the entry distance
     of the nearest candidate ever truncated — the exactness certificate used
     by intersect_bvh_verified.
+
+    Defaults (k=4, k_leaf=4) are the measured sweet spot on helmet.glb @
+    256k rays (docs/PERF.md): 28.5 ms/intersect with ~0.3% camera-ray
+    suspects, all repaired by the O(suspects) escalation.
     """
     r = origin.shape[0]
     depth = bvh.depth
@@ -358,8 +362,8 @@ def intersect_bruteforce_chunked(
 
 
 def intersect_bvh_verified(
-    origin: Vec3, direction: Vec3, triangles, bvh, active=None, k: int = 8,
-    k_leaf: int = 16, max_suspects: int | None = None,
+    origin: Vec3, direction: Vec3, triangles, bvh, active=None, k: int = 4,
+    k_leaf: int = 4, max_suspects: int | None = None,
 ):
     """Exact dense traversal: top-k pass + truncation-bound verification.
 
@@ -442,7 +446,7 @@ def intersect_bvh_verified(
 
 def intersect_scene(
     scene, origin: Vec3, direction: Vec3, active=None, method: str = "topk",
-    k: int = 8, k_leaf: int = 16,
+    k: int = 4, k_leaf: int = 4,
 ):
     """ray_scene_hit (raytracer.c:497-503) + the sphere pass: nearest hit
     among BVH triangles and analytic spheres.
