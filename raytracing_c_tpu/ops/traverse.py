@@ -199,8 +199,8 @@ def intersect_bvh(origin: Vec3, direction: Vec3, triangles, bvh, active=None):
 
 
 def intersect_bvh_topk(
-    origin: Vec3, direction: Vec3, triangles, bvh, active=None, k: int = 4,
-    k_leaf: int = 4, with_bound: bool = False,
+    origin: Vec3, direction: Vec3, triangles, bvh, active=None, k: int = 8,
+    k_leaf: int = 8, with_bound: bool = False,
 ):
     """Dense level-synchronous traversal — the TPU production path.
 
@@ -215,9 +215,12 @@ def intersect_bvh_topk(
     of the nearest candidate ever truncated — the exactness certificate used
     by intersect_bvh_verified.
 
-    Defaults (k=4, k_leaf=4) are the measured sweet spot on helmet.glb @
-    256k rays (docs/PERF.md): 28.5 ms/intersect with ~0.3% camera-ray
-    suspects, all repaired by the O(suspects) escalation.
+    Defaults (k=8, k_leaf=8) balance single-pass accuracy against speed on
+    helmet.glb @ 256k rays (docs/PERF.md): ~40 ms/intersect with ~0.1%
+    bounce-ray suspects — small enough that the O(suspects) escalation
+    almost never overflows its compact buffer. (k=4, k_leaf=4 is ~25%
+    faster per pass but its bounce-ray suspect volume spills the buffer,
+    forcing full-width repairs that cost more than it saves.)
     """
     r = origin.shape[0]
     depth = bvh.depth
@@ -362,8 +365,8 @@ def intersect_bruteforce_chunked(
 
 
 def intersect_bvh_verified(
-    origin: Vec3, direction: Vec3, triangles, bvh, active=None, k: int = 4,
-    k_leaf: int = 4, max_suspects: int | None = None,
+    origin: Vec3, direction: Vec3, triangles, bvh, active=None, k: int = 8,
+    k_leaf: int = 8, max_suspects: int | None = None,
 ):
     """Exact dense traversal: top-k pass + truncation-bound verification.
 
@@ -391,7 +394,7 @@ def intersect_bvh_verified(
     n_blocks = triangles.capacity // W
     k2 = min(4 * k, 64)
     kl2 = min(4 * k_leaf, max(n_blocks, 1))
-    s_cap = max_suspects or min(max(r // 64, 512), r)
+    s_cap = max_suspects or min(max(r // 32, 512), r)
 
     def wide_exact(o, d, act):
         """Wider pass + brute-force backstop on whatever batch it's given."""
@@ -446,7 +449,7 @@ def intersect_bvh_verified(
 
 def intersect_scene(
     scene, origin: Vec3, direction: Vec3, active=None, method: str = "topk",
-    k: int = 4, k_leaf: int = 4,
+    k: int = 8, k_leaf: int = 8,
 ):
     """ray_scene_hit (raytracer.c:497-503) + the sphere pass: nearest hit
     among BVH triangles and analytic spheres.
