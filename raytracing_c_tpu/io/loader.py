@@ -11,10 +11,8 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
-
 from raytracing_c_tpu.io.gltf_loader import load_gltf
-from raytracing_c_tpu.io.materials import AtlasBuilder, build_material_table
+from raytracing_c_tpu.io.materials import build_material_table
 from raytracing_c_tpu.io.obj_loader import load_obj
 from raytracing_c_tpu.io.image_io import load_image_rgb_u8
 from raytracing_c_tpu.models.scene import Background, Camera, build_scene

@@ -1,1 +1,1 @@
-from raytracing_c_tpu.utils import color, vecmath  # noqa: F401
+from raytracing_c_tpu.utils import color, vec3  # noqa: F401

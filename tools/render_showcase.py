@@ -1,0 +1,44 @@
+"""Render the reference's test scenes into showcase images (the analog of
+the reference's checked-in output.png / tower.png golden artifacts)."""
+
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+from raytracing_c_tpu.io.image_io import write_png
+from raytracing_c_tpu.io.loader import load_scene
+from raytracing_c_tpu.ops.denoise import denoise_u8
+from raytracing_c_tpu.render.renderer import render
+
+MODELS = "/root/reference/models"
+OUT = "/root/repo/artifacts"
+os.makedirs(OUT, exist_ok=True)
+
+CASES = [
+    ("spheres.glb", 512, 512, 16, 8, False),
+    ("sheen.glb", 512, 512, 16, 8, False),
+    ("tower.obj", 512, 512, 16, 8, True),
+    ("fov_test.obj", 512, 512, 8, 4, False),
+    ("helmet.obj", 512, 512, 8, 8, False),
+]
+
+for model, w, h, spp, bounces, denoise in CASES:
+    t0 = time.time()
+    scene = load_scene(f"{MODELS}/{model}", background_path=None,
+                       warn=lambda *a: None)
+    img, stats = render(scene, w, h, spp=spp, max_bounces=bounces, seed=0)
+    if denoise:
+        import jax.numpy as jnp
+        import numpy as np
+
+        img = np.asarray(denoise_u8(jnp.asarray(img)))
+    name = os.path.splitext(model)[0]
+    write_png(f"{OUT}/{name}.png", img)
+    print(f"{model}: {time.time()-t0:.1f}s "
+          f"({stats.mrays_per_sec:.2f} Mrays/s, {stats.rays_traced} rays)")
