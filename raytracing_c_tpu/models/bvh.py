@@ -91,15 +91,17 @@ def build_bvh(mesh: HostMesh):
             centroids, tri_min, tri_max, mins, maxs, slot_map,
         )
 
-    # plane table: rows = component * 8 + child for (min.xyz, max.xyz) —
-    # traversal gathers (48, K, R) batch-minor slices (see models/scene.py)
-    nodes = np.concatenate(
-        [mins.transpose(2, 1, 0), maxs.transpose(2, 1, 0)], axis=0
-    ).reshape(6 * W, n_internal)
+    # row table: one node per 128-lane row, cols = component * 8 + child
+    # for (min.xyz, max.xyz) + 80 pad lanes — traversal fetches whole rows
+    # (the TPU row-gather fast path; see models/scene.py)
+    nodes = np.zeros((n_internal, 128), np.float32)
+    nodes[:, : 6 * W] = np.concatenate(
+        [mins.transpose(0, 2, 1), maxs.transpose(0, 2, 1)], axis=1
+    ).reshape(n_internal, 6 * W)
 
     return (
         BVH(
-            nodes=jnp.asarray(np.ascontiguousarray(nodes)),
+            nodes=jnp.asarray(nodes),
             depth=depth,
             last_row_offset=n_internal,
         ),

@@ -13,8 +13,8 @@ Other mappings:
 - node i's children are `8*i + 1 + j`; children with index >=
   `last_row_offset` are leaf blocks at `(child - last_row_offset)`
   (scene.h:72-90, raytracer.c:474-476). Child AABBs live in ONE
-  (48, n_internal) plane table (6 components x 8 children), so a traversal
-  gather yields (48, K, R) — batch-minor, perfectly tiled.
+  (n_internal, 128) ROW table (6 components x 8 children per 512-byte row),
+  so a traversal step is one row gather per visited node.
 - the reference's per-triangle function-pointer `Shader` (scene.h:30-42)
   becomes a per-triangle `mat_id` into a `MaterialTable`, shaded by a single
   branchless ubershader.
@@ -149,8 +149,9 @@ class Triangles(struct.PyTreeNode):
 class BVH(struct.PyTreeNode):
     """Implicit complete 8-ary BVH; internal nodes only (scene.h:72-90).
 
-    `nodes`: (48, n_internal) f32 plane table, rows = component * 8 + child
-    for components (min.x, min.y, min.z, max.x, max.y, max.z).
+    `nodes`: (n_internal, 128) f32 ROW table — one node per 512-byte row
+    (the TPU gather fast path), cols = component * 8 + child for components
+    (min.x, min.y, min.z, max.x, max.y, max.z), lanes 48+ are padding.
     """
 
     nodes: Any
@@ -159,12 +160,13 @@ class BVH(struct.PyTreeNode):
 
     @property
     def n_internal(self) -> int:
-        return self.nodes.shape[1]
+        return self.nodes.shape[0]
 
     def child_boxes_np(self):
         """(n_internal, 8, 3) mins/maxs as numpy — host-side tooling/tests."""
-        t = np.asarray(self.nodes).reshape(6, 8, -1).transpose(2, 1, 0)
-        return t[..., :3], t[..., 3:]
+        t = np.asarray(self.nodes)[:, : 6 * BVH_WIDTH]
+        t = t.reshape(-1, 6, BVH_WIDTH).transpose(0, 2, 1)  # (n, 8, 6)
+        return np.ascontiguousarray(t[..., :3]), np.ascontiguousarray(t[..., 3:])
 
 
 class MaterialTable(struct.PyTreeNode):

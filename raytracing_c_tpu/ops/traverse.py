@@ -31,14 +31,16 @@ INF = jnp.float32(jnp.inf)
 def _node_boxes(bvh, node):
     """Gather child AABBs for node ids `node` of any shape S.
 
-    Returns (box_min, box_max): Vec3 with components (8,) + S — one fused
-    gather from the (48, n_internal) plane table.
+    One 512-byte ROW gather per node id (the TPU fast path), one transpose
+    back to batch-minor, then free static slicing. Returns
+    (box_min, box_max): Vec3 with components (8,) + S.
     """
-    g = bvh.nodes[:, node]  # (48,) + S
-    g = g.reshape((6, W) + node.shape)
+    g = bvh.nodes[node]  # S + (128,)
+    gt = jnp.moveaxis(g, -1, 0)  # (128,) + S
+    c = gt.reshape((16, W) + node.shape)  # 16 groups of 8 lanes; 6 used
     return (
-        Vec3(x=g[0], y=g[1], z=g[2]),
-        Vec3(x=g[3], y=g[4], z=g[5]),
+        Vec3(x=c[0], y=c[1], z=c[2]),
+        Vec3(x=c[3], y=c[4], z=c[5]),
     )
 
 
