@@ -194,7 +194,16 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.perf_counter()
         import jax.numpy as jnp
 
-        img = np.asarray(denoise_u8(jnp.asarray(img)))
+        if jax.default_backend() == "tpu":
+            from raytracing_c_tpu.ops.denoise_pallas import denoise_u8_pallas
+
+            try:
+                img = np.asarray(denoise_u8_pallas(jnp.asarray(img)))
+            except Exception as e:  # Mosaic regression -> jnp fallback
+                warn(f"pallas denoiser failed ({e}); using XLA path")
+                img = np.asarray(denoise_u8(jnp.asarray(img)))
+        else:
+            img = np.asarray(denoise_u8(jnp.asarray(img)))
         print(f"Denoising: {(time.perf_counter() - t0) * 1e3:.0f}ms")
 
     t0 = time.perf_counter()
