@@ -28,6 +28,7 @@ import numpy as np
 
 from raytracing_c_tpu import BVH_WIDTH, EPSILON
 from raytracing_c_tpu.models.scene import BVH, HostMesh
+from raytracing_c_tpu.utils import bf16
 
 import jax.numpy as jnp
 
@@ -99,9 +100,17 @@ def build_bvh(mesh: HostMesh):
         [mins.transpose(0, 2, 1), maxs.transpose(0, 2, 1)], axis=1
     ).reshape(n_internal, 6 * W)
 
+    # conservative bf16 twin (half the traversal fetch bytes): minima round
+    # toward -inf, maxima toward +inf, so boxes only grow — false misses
+    # stay impossible (utils/bf16.py)
+    nodes_bf16 = np.zeros((n_internal, 128), bf16.BF16)
+    nodes_bf16[:, : 3 * W] = bf16.round_down(nodes[:, : 3 * W])
+    nodes_bf16[:, 3 * W : 6 * W] = bf16.round_up(nodes[:, 3 * W : 6 * W])
+
     return (
         BVH(
             nodes=jnp.asarray(nodes),
+            nodes_bf16=jnp.asarray(nodes_bf16),
             depth=depth,
             last_row_offset=n_internal,
         ),

@@ -157,6 +157,9 @@ class BVH(struct.PyTreeNode):
     nodes: Any
     depth: int = struct.field(pytree_node=False)
     last_row_offset: int = struct.field(pytree_node=False)
+    #: conservative bf16 twin of `nodes` (min rounded down / max up): the
+    #: traversal fetch, at half the bytes, with false misses impossible
+    nodes_bf16: Any = None
 
     @property
     def n_internal(self) -> int:

@@ -73,6 +73,7 @@ def save_scene_cache(path: str, scene: Scene) -> None:
         "camera_fov": np.asarray(scene.camera.fov),
         "camera_focal": np.asarray(scene.camera.focal_length),
         "bvh_nodes": np.asarray(scene.bvh.nodes),
+        "bvh_nodes_bf16": np.asarray(scene.bvh.nodes_bf16).view(np.uint16),
         "bg_color": np.asarray(scene.background.color),
         "sph_radius": np.asarray(scene.spheres.radius),
         "sph_mat_id": np.asarray(scene.spheres.mat_id),
@@ -101,8 +102,11 @@ def load_scene_cache(path: str) -> Scene:
         int(x) for x in header
     )
 
+    from raytracing_c_tpu.utils.bf16 import BF16
+
     bvh = BVH(
         nodes=jnp.asarray(z["bvh_nodes"]),
+        nodes_bf16=jnp.asarray(z["bvh_nodes_bf16"].view(BF16)),
         depth=depth,
         last_row_offset=last_row_offset,
     )

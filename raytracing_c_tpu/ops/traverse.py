@@ -31,13 +31,15 @@ INF = jnp.float32(jnp.inf)
 def _node_boxes(bvh, node):
     """Gather child AABBs for node ids `node` of any shape S.
 
-    One 512-byte ROW gather per node id (the TPU fast path), one transpose
-    back to batch-minor, then free static slicing. Returns
-    (box_min, box_max): Vec3 with components (8,) + S.
+    One 256-byte bf16 ROW gather per node id (the TPU fast path; the table
+    is the conservative bf16 twin, so boxes only ever grow — exactness is
+    unaffected), one transpose back to batch-minor, free static slicing,
+    then upcast. Returns (box_min, box_max): Vec3 with components (8,) + S.
     """
-    g = bvh.nodes[node]  # S + (128,)
+    table = bvh.nodes_bf16 if bvh.nodes_bf16 is not None else bvh.nodes
+    g = table[node]  # S + (128,)
     gt = jnp.moveaxis(g, -1, 0)  # (128,) + S
-    c = gt.reshape((16, W) + node.shape)  # 16 groups of 8 lanes; 6 used
+    c = gt.reshape((16, W) + node.shape).astype(jnp.float32)
     return (
         Vec3(x=c[0], y=c[1], z=c[2]),
         Vec3(x=c[3], y=c[4], z=c[5]),
