@@ -31,12 +31,17 @@ INF = jnp.float32(jnp.inf)
 def _node_boxes(bvh, node):
     """Gather child AABBs for node ids `node` of any shape S.
 
-    One 256-byte bf16 ROW gather per node id (the TPU fast path; the table
-    is the conservative bf16 twin, so boxes only ever grow — exactness is
-    unaffected), one transpose back to batch-minor, free static slicing,
-    then upcast. Returns (box_min, box_max): Vec3 with components (8,) + S.
+    One 512-byte ROW gather per node id (the TPU fast path), one transpose
+    back to batch-minor, free static slicing. Returns (box_min, box_max):
+    Vec3 with components (8,) + S.
+
+    Note: a conservative-bf16 variant (bvh.nodes_bf16, half the bytes) was
+    measured SLOWER end-to-end (+8%): the fetch is row-LATENCY-bound, not
+    bandwidth-bound, and the upcast adds VPU work (docs/PERF.md). The bf16
+    table is kept for the future Pallas traversal, where rows stream
+    through VMEM and bytes matter.
     """
-    table = bvh.nodes_bf16 if bvh.nodes_bf16 is not None else bvh.nodes
+    table = bvh.nodes
     g = table[node]  # S + (128,)
     gt = jnp.moveaxis(g, -1, 0)  # (128,) + S
     c = gt.reshape((16, W) + node.shape).astype(jnp.float32)
