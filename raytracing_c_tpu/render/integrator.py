@@ -92,6 +92,76 @@ def _gather_hit_geometry(scene, origin: Vec3, direction: Vec3, hit):
     }
 
 
+def bounce_step(scene, st, rand4, method: str = "topk",
+                texture_mode: str = "bilinear"):
+    """ONE wavefront bounce over a state dict of per-ray planes.
+
+    st: dict(origin, direction, throughput, radiance: Vec3; active: bool;
+    rays: f32 scalar). rand4: (4, R) uniforms for the material stage.
+    Shared by the fused trace() loop below and the compacting pool renderer
+    (render/pool.py) — both paths get identical per-bounce semantics.
+    """
+    active = st["active"]
+    o, d = st["origin"], st["direction"]
+    r = o.shape[0]
+
+    hit = traverse.intersect_scene(scene, o, d, active, method=method)
+    rays = st["rays"] + jnp.sum(active).astype(jnp.float32)
+
+    is_hit = active & jnp.isfinite(hit["t"])
+    geom = _gather_hit_geometry(scene, o, d, hit)
+
+    # backface skip: geometric OR shading normal along the ray
+    # (raytracer.c:516-521)
+    backface = is_hit & (
+        (geom["ng"].dot(d) > 0.0) | (geom["normal"].dot(d) > 0.0)
+    )
+    shaded = is_hit & ~backface
+
+    n_unit = geom["normal"].normalized()
+    out = disney.shade(
+        scene, d, n_unit, geom["ng"], geom["tangent"], geom["bitangent"],
+        geom["uv_u"], geom["uv_v"], geom["mat_id"], rand4, texture_mode,
+    )
+
+    zero = Vec3.zeros((r,))
+    radiance = st["radiance"] + Vec3.where(
+        shaded, st["throughput"] * out["emission"], zero
+    )
+
+    # miss: background * throughput (raytracer.c:553-555)
+    miss = active & ~is_hit
+    bg = bg_ops.eval_background(scene, d)
+    radiance = radiance + Vec3.where(miss, st["throughput"] * bg, zero)
+
+    # terminated rays keep their accumulated emission and go inactive
+    cont = shaded & ~out["terminate"]
+
+    throughput = Vec3.where(
+        cont, st["throughput"] * out["tint"], st["throughput"]
+    )
+
+    # next ray origin: epsilon rules (raytracer.c:520, 551-552)
+    bias = jnp.where(
+        geom["ng"].dot(out["direction"]) < 0.0, -EPSILON, EPSILON
+    )
+    origin_shaded = geom["point"] + geom["ng"] * bias
+    origin_back = geom["point"] + d * EPSILON
+    new_origin = Vec3.where(
+        backface, origin_back, Vec3.where(cont, origin_shaded, o)
+    )
+    new_dir = Vec3.where(cont, out["direction"], d)
+
+    return {
+        "origin": new_origin,
+        "direction": new_dir,
+        "throughput": throughput,
+        "radiance": radiance,
+        "active": (cont | backface),
+        "rays": rays,
+    }
+
+
 def trace(scene, origin: Vec3, direction: Vec3, uniforms, max_bounces: int,
           method: str = "topk", texture_mode: str = "bilinear"):
     """Trace a batch of rays to completion.
@@ -117,65 +187,7 @@ def trace(scene, origin: Vec3, direction: Vec3, uniforms, max_bounces: int,
     }
 
     def bounce(i, st):
-        active = st["active"]
-        o, d = st["origin"], st["direction"]
-
-        hit = traverse.intersect_scene(scene, o, d, active, method=method)
-        rays = st["rays"] + jnp.sum(active).astype(jnp.float32)
-
-        is_hit = active & jnp.isfinite(hit["t"])
-        geom = _gather_hit_geometry(scene, o, d, hit)
-
-        # backface skip: geometric OR shading normal along the ray
-        # (raytracer.c:516-521)
-        backface = is_hit & (
-            (geom["ng"].dot(d) > 0.0) | (geom["normal"].dot(d) > 0.0)
-        )
-        shaded = is_hit & ~backface
-
-        n_unit = geom["normal"].normalized()
-        out = disney.shade(
-            scene, d, n_unit, geom["ng"], geom["tangent"], geom["bitangent"],
-            geom["uv_u"], geom["uv_v"], geom["mat_id"], uniforms[i],
-            texture_mode,
-        )
-
-        zero = Vec3.zeros((r,))
-        radiance = st["radiance"] + Vec3.where(
-            shaded, st["throughput"] * out["emission"], zero
-        )
-
-        # miss: background * throughput (raytracer.c:553-555)
-        miss = active & ~is_hit
-        bg = bg_ops.eval_background(scene, d)
-        radiance = radiance + Vec3.where(miss, st["throughput"] * bg, zero)
-
-        # terminated rays keep their accumulated emission and go inactive
-        cont = shaded & ~out["terminate"]
-
-        throughput = Vec3.where(
-            cont, st["throughput"] * out["tint"], st["throughput"]
-        )
-
-        # next ray origin: epsilon rules (raytracer.c:520, 551-552)
-        bias = jnp.where(
-            geom["ng"].dot(out["direction"]) < 0.0, -EPSILON, EPSILON
-        )
-        origin_shaded = geom["point"] + geom["ng"] * bias
-        origin_back = geom["point"] + d * EPSILON
-        new_origin = Vec3.where(
-            backface, origin_back, Vec3.where(cont, origin_shaded, o)
-        )
-        new_dir = Vec3.where(cont, out["direction"], d)
-
-        return {
-            "origin": new_origin,
-            "direction": new_dir,
-            "throughput": throughput,
-            "radiance": radiance,
-            "active": (cont | backface),
-            "rays": rays,
-        }
+        return bounce_step(scene, st, uniforms[i], method, texture_mode)
 
     # while-loop over bounces: a batch whose rays have ALL terminated (e.g.
     # a sky-only tile, or every path absorbed) stops early instead of

@@ -105,6 +105,7 @@ def render(
     progress=None,
     texture_mode: str = "bilinear",
     limit_batches: int | None = None,
+    engine: str = "fused",
 ):
     """Render a full image.
 
@@ -114,6 +115,10 @@ def render(
     forces the exact ordered-DFS path. `mesh` shards batch pixels across devices
     (scene replicated; per SURVEY §2 the only cross-chip traffic is the final
     image gather).
+
+    engine="pool" uses the compacting wavefront pool (render/pool.py):
+    live rays shrink the working set between bounces. Single-device only
+    (falls back to fused under a mesh).
     """
     if method == "auto":
         method = "topk" if scene.triangles.capacity > 64 else "brute"
@@ -168,11 +173,21 @@ def render(
         if shard is not None:
             px = jax.device_put(px, shard)
             py = jax.device_put(py, shard)
-        rgb, rays = render_batch(
-            scene, px, py, jax.random.fold_in(key, b),
-            width=width, height=height, spp=spp, max_bounces=max_bounces,
-            method=method, texture_mode=texture_mode,
-        )
+        if engine == "pool" and shard is None:
+            from raytracing_c_tpu.render.pool import render_batch_pool
+
+            rgb, rays = render_batch_pool(
+                scene, px, py, jax.random.fold_in(key, b),
+                width=width, height=height, spp=spp,
+                max_bounces=max_bounces, method=method,
+                texture_mode=texture_mode,
+            )
+        else:
+            rgb, rays = render_batch(
+                scene, px, py, jax.random.fold_in(key, b),
+                width=width, height=height, spp=spp, max_bounces=max_bounces,
+                method=method, texture_mode=texture_mode,
+            )
         lo = b * batch_pixels
         hi = min((b + 1) * batch_pixels, n_pixels)
         out[perm[lo:hi]] = np.asarray(rgb)[: hi - lo]
