@@ -16,6 +16,12 @@ This module keeps the live rays in a POOL that shrinks between bounces:
 Per-bounce semantics are bit-shared with the fused path: both call
 integrator.bounce_step. This is the wavefront architecture SURVEY §7 calls
 "compaction as a later optimization" over the masked baseline.
+
+MEASURED CAVEAT (docs/PERF.md): the host-driven loop reads back the live
+count every bounce. Over the axon tunnel that sync costs ~150 ms, so at
+1080p the pool measured 3x SLOWER than the fused engine (140 s vs 46 s)
+despite doing less device work. On a locally-attached TPU (microsecond
+sync) the trade flips; rounds 2+ should pipeline batches to hide the sync.
 """
 
 from __future__ import annotations
