@@ -165,6 +165,24 @@ def render(
     if limit_batches is not None:
         n_batches = min(n_batches, limit_batches)
 
+    # pipelined batch loop: keep a few batches in flight so the synchronous
+    # device->host readback of batch b overlaps batch b+1..b+k's compute
+    # (over the axon tunnel a blocking readback costs ~100 ms — serializing
+    # it per batch would idle the chip for a large fraction of the render)
+    pipeline_depth = 4
+    in_flight: list = []
+
+    def drain(entry):
+        nonlocal rays_total
+        b, rgb, rays = entry
+        lo = b * batch_pixels
+        hi = min((b + 1) * batch_pixels, n_pixels)
+        if hi > lo:
+            out[perm[lo:hi]] = np.asarray(rgb)[: hi - lo]
+        rays_total += float(rays)
+        if progress is not None:
+            progress(b + 1, n_batches)
+
     t0 = time.perf_counter()
     for b in range(n_batches):
         sl = slice(b * batch_pixels, (b + 1) * batch_pixels)
@@ -188,12 +206,11 @@ def render(
                 width=width, height=height, spp=spp, max_bounces=max_bounces,
                 method=method, texture_mode=texture_mode,
             )
-        lo = b * batch_pixels
-        hi = min((b + 1) * batch_pixels, n_pixels)
-        out[perm[lo:hi]] = np.asarray(rgb)[: hi - lo]
-        rays_total += float(rays)
-        if progress is not None:
-            progress(b + 1, n_batches)
+        in_flight.append((b, rgb, rays))
+        if len(in_flight) > pipeline_depth:
+            drain(in_flight.pop(0))
+    for entry in in_flight:
+        drain(entry)
     wall_ms = (time.perf_counter() - t0) * 1e3
 
     linear = out[:n_pixels].reshape(height, width, 3)
