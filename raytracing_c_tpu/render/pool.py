@@ -161,6 +161,92 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+class PoolTask:
+    """One batch's pool render as an explicitly-steppable state machine, so
+    a host scheduler can interleave several batches: while THIS task blocks
+    on its live-count readback, the OTHER tasks' bounce programs keep the
+    device busy — hiding the ~150 ms tunnel sync that made the sequential
+    pool lose (docs/PERF.md)."""
+
+    def __init__(self, scene, px, py, key, *, width, height, spp,
+                 max_bounces, method="topk", texture_mode="bilinear"):
+        self.scene = scene
+        self.key = key
+        self.max_bounces = max_bounces
+        self.method = method
+        self.texture_mode = texture_mode
+
+        p = px.shape[0]
+        self.p = p
+        self.r = p * spp
+        self.spp = spp
+        self.rows = pool_raygen(
+            scene, px, py, key, width=width, height=height, spp=spp
+        )
+        self.acc = [jnp.zeros((self.r,), jnp.float32) for _ in range(3)]
+        self.traced = 0
+        self.alive = self.r
+        self.alive_pending = None
+        self.bounce = 0
+        self.done = False
+
+    def sync(self):
+        """Resolve the pending live count (blocking); shrink or finish."""
+        if self.alive_pending is None:
+            return
+        self.alive = int(self.alive_pending)
+        self.alive_pending = None
+        if self.alive == 0 or self.bounce >= self.max_bounces:
+            self.done = True
+            return
+        w2 = max(_next_pow2(self.alive), MIN_WIDTH)
+        if w2 < self.rows.shape[0]:
+            self.rows = pool_shrink(self.rows, new_width=w2)
+
+    def step(self):
+        """Dispatch ONE bounce (non-blocking)."""
+        assert not self.done and self.alive_pending is None
+        self.traced += self.alive
+        self.rows, self.acc[0], self.acc[1], self.acc[2], self.alive_pending = (
+            pool_bounce(
+                self.scene, self.rows, *self.acc,
+                jax.random.fold_in(self.key, self.bounce + 1),
+                method=self.method, texture_mode=self.texture_mode,
+            )
+        )
+        self.bounce += 1
+
+    def finalize(self):
+        if self.alive > 0:
+            self.acc = list(pool_flush(self.rows, *self.acc))
+        rgb = jnp.stack(
+            [a.reshape(self.p, self.spp).mean(axis=1) for a in self.acc],
+            axis=-1,
+        )
+        return rgb, jnp.float32(self.traced)
+
+
+def run_pool_tasks(make_task, n_tasks: int, on_result, depth: int = 2):
+    """Interleave up to `depth` PoolTasks: each blocking sync overlaps the
+    other tasks' dispatched compute."""
+    active: list = []
+    next_task = 0
+    while active or next_task < n_tasks:
+        while len(active) < depth and next_task < n_tasks:
+            active.append((next_task, make_task(next_task)))
+            next_task += 1
+        for slot in list(active):
+            b, task = slot
+            if task.alive_pending is None and not task.done:
+                task.step()
+        for slot in list(active):
+            b, task = slot
+            task.sync()
+            if task.done:
+                on_result(b, *task.finalize())
+                active.remove(slot)
+
+
 def render_batch_pool(
     scene, px, py, key, *, width: int, height: int, spp: int,
     max_bounces: int, method: str = "topk", texture_mode: str = "bilinear",

@@ -184,33 +184,39 @@ def render(
             progress(b + 1, n_batches)
 
     t0 = time.perf_counter()
-    for b in range(n_batches):
-        sl = slice(b * batch_pixels, (b + 1) * batch_pixels)
-        px = jnp.asarray(xs[sl])
-        py = jnp.asarray(ys[sl])
-        if shard is not None:
-            px = jax.device_put(px, shard)
-            py = jax.device_put(py, shard)
-        if engine == "pool" and shard is None:
-            from raytracing_c_tpu.render.pool import render_batch_pool
+    if engine == "pool" and shard is None:
+        from raytracing_c_tpu.render import pool as pool_mod
 
-            rgb, rays = render_batch_pool(
-                scene, px, py, jax.random.fold_in(key, b),
-                width=width, height=height, spp=spp,
-                max_bounces=max_bounces, method=method,
+        def make_task(b):
+            sl = slice(b * batch_pixels, (b + 1) * batch_pixels)
+            return pool_mod.PoolTask(
+                scene, jnp.asarray(xs[sl]), jnp.asarray(ys[sl]),
+                jax.random.fold_in(key, b), width=width, height=height,
+                spp=spp, max_bounces=max_bounces, method=method,
                 texture_mode=texture_mode,
             )
-        else:
+
+        pool_mod.run_pool_tasks(
+            make_task, n_batches, lambda b, rgb, rays: drain((b, rgb, rays))
+        )
+    else:
+        for b in range(n_batches):
+            sl = slice(b * batch_pixels, (b + 1) * batch_pixels)
+            px = jnp.asarray(xs[sl])
+            py = jnp.asarray(ys[sl])
+            if shard is not None:
+                px = jax.device_put(px, shard)
+                py = jax.device_put(py, shard)
             rgb, rays = render_batch(
                 scene, px, py, jax.random.fold_in(key, b),
                 width=width, height=height, spp=spp, max_bounces=max_bounces,
                 method=method, texture_mode=texture_mode,
             )
-        in_flight.append((b, rgb, rays))
-        if len(in_flight) > pipeline_depth:
-            drain(in_flight.pop(0))
-    for entry in in_flight:
-        drain(entry)
+            in_flight.append((b, rgb, rays))
+            if len(in_flight) > pipeline_depth:
+                drain(in_flight.pop(0))
+        for entry in in_flight:
+            drain(entry)
     wall_ms = (time.perf_counter() - t0) * 1e3
 
     linear = out[:n_pixels].reshape(height, width, 3)
