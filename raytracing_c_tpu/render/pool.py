@@ -30,7 +30,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from raytracing_c_tpu.render import camera as camera_mod
 from raytracing_c_tpu.render import integrator
