@@ -7,7 +7,8 @@ defaults 1024x1024, 16 spp, 8 bounces, output.png (driver.c:733-742).
 
 Extra (new-framework) flags are double-dashed: --seed, --bg, --no-bg,
 --batch-pixels, --brute-force, --debug-normals, --tonemap, --save-scene,
---load-scene, --profile.
+--load-scene, --profile, --nearest (the reference's compile-time texture
+filter switch, driver.c:13-14, as a runtime flag).
 
 -T is accepted for CLI parity; device execution replaces host threads (the
 batch is one device program; use --batch-pixels to change batching).
@@ -47,6 +48,7 @@ def parse_args(argv: list[str]):
         "save_scene": None,
         "load_scene": None,
         "profile": None,
+        "texture_mode": "bilinear",
     }
     i = 0
     while i < len(argv):
@@ -82,6 +84,9 @@ def parse_args(argv: list[str]):
             i += 2
         elif a == "--brute-force":
             cfg["brute_force"] = True
+            i += 1
+        elif a == "--nearest":
+            cfg["texture_mode"] = "nearest"
             i += 1
         elif a == "--debug-normals":
             cfg["debug_normals"] = True
@@ -167,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
         seed=cfg["seed"],
         batch_pixels=cfg["batch_pixels"],
         method=("brute" if cfg["brute_force"] else "auto"),
+        texture_mode=cfg["texture_mode"],
         progress=bar,
     )
     bar.finish()

@@ -45,6 +45,12 @@ def test_extended_flags():
     assert cfg["tonemap"] == "aces"
 
 
+def test_nearest_filter_flag():
+    cfg = parse_args(["--nearest", "a.obj"])
+    assert cfg["texture_mode"] == "nearest"
+    assert parse_args(["a.obj"])["texture_mode"] == "bilinear"
+
+
 def test_load_scene_without_model_ok():
     cfg = parse_args(["--load-scene", "cache.npz"])
     assert cfg is not None and cfg["load_scene"] == "cache.npz"
