@@ -19,7 +19,9 @@ import jax.numpy as jnp
 from raytracing_c_tpu import EPSILON
 from raytracing_c_tpu.utils.vec3 import Vec3, vmax, vmin
 
-INF = jnp.float32(jnp.inf)
+# python literal (not a jnp scalar): these kernels are shared with the
+# Pallas traversal, and pallas kernel bodies may not capture traced consts
+INF = float("inf")
 
 
 def moller_trumbore(origin: Vec3, direction: Vec3, v0: Vec3, e1: Vec3,

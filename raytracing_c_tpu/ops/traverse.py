@@ -373,6 +373,47 @@ def intersect_bruteforce_chunked(
     return best
 
 
+def _repair_suspects(hit, suspect, wide_exact, origin, direction, s_cap):
+    """Shared escalation: compact suspect rays into a fixed buffer, rerun
+    them through `wide_exact`, scatter repairs back. Runs behind
+    jax.lax.cond so clean batches pay nothing; overflowing the buffer falls
+    back to a full-batch wide pass (rare by construction)."""
+
+    def escalate(args):
+        hit, suspect = args
+        n_sus = jnp.sum(suspect)
+
+        def compact_path(args2):
+            hit, suspect = args2
+            idx = jnp.nonzero(suspect, size=s_cap, fill_value=0)[0]
+            act = suspect[idx]
+            o_s = origin.gather(idx)
+            d_s = direction.gather(idx)
+            wide = wide_exact(o_s, d_s, act)
+            take = act & (wide["t"] <= hit["t"][idx])
+            # scatter the repaired rays back (duplicate fill indices carry
+            # take=False and write back the existing value)
+            out = dict(hit)
+            for key in ("t", "tri", "u", "v"):
+                out[key] = out[key].at[idx].set(
+                    jnp.where(take, wide[key], out[key][idx])
+                )
+            return out
+
+        def full_path(args2):
+            hit, suspect = args2
+            wide = wide_exact(origin, direction, suspect)
+            return _merge_hits(hit, wide)
+
+        return jax.lax.cond(
+            n_sus <= s_cap, compact_path, full_path, (hit, suspect)
+        )
+
+    return jax.lax.cond(
+        jnp.any(suspect), escalate, lambda a: a[0], (hit, suspect)
+    )
+
+
 def intersect_bvh_verified(
     origin: Vec3, direction: Vec3, triangles, bvh, active=None, k: int = 8,
     k_leaf: int = 8, max_suspects: int | None = None,
@@ -421,54 +462,87 @@ def intersect_bvh_verified(
             jnp.any(still), brute, lambda a: a[0], (wide, still)
         )
 
-    def escalate(args):
-        hit, suspect = args
-        n_sus = jnp.sum(suspect)
+    return _repair_suspects(hit, suspect, wide_exact, origin, direction, s_cap)
 
-        def compact_path(args2):
-            hit, suspect = args2
-            idx = jnp.nonzero(suspect, size=s_cap, fill_value=0)[0]
-            act = suspect[idx]
-            o_s = origin.gather(idx)
-            d_s = direction.gather(idx)
-            wide = wide_exact(o_s, d_s, act)
-            take = act & (wide["t"] <= hit["t"][idx])
-            # scatter the repaired rays back (duplicate fill indices carry
-            # take=False and write back the existing value)
-            out = dict(hit)
-            for key in ("t", "tri", "u", "v"):
-                out[key] = out[key].at[idx].set(
-                    jnp.where(take, wide[key], out[key][idx])
-                )
-            return out
 
-        def full_path(args2):
-            hit, suspect = args2
-            wide = wide_exact(origin, direction, suspect)
-            return _merge_hits(hit, wide)
+def intersect_bvh_pallas_verified(
+    origin: Vec3, direction: Vec3, triangles, bvh, active=None, kp: int = 2,
+    max_suspects: int | None = None,
+):
+    """Exact traversal with the fused Pallas kernel as the fast path.
+
+    Tier 0: pallas kernel, ksel=8 candidates/level, kp leaf groups — the
+    cheapest pass that finds ~90% of hits exactly, with the truncation
+    certificate marking every ray that could be wrong.
+    Tier 1: suspects compact into an r/8 buffer and rerun the SAME kernel
+    wider (ksel=16, kp=8: every top-8 block's group fetched).
+    Tier 2: rays still suspect after that compact into an r/64 buffer for
+    the exhaustive chunked oracle.
+    Each tier sits behind lax.cond, so its cost is O(its input), and each
+    buffer overflow falls back to running the wider pass on the full
+    previous tier — exactness is unconditional (tests/test_traverse_pallas.py).
+    """
+    from raytracing_c_tpu.ops import traverse_pallas as tp
+
+    hit = tp.intersect_bvh_pallas(
+        origin, direction, triangles, bvh, active, kp=kp
+    )
+    suspect = hit.pop("dropped_min") < hit["t"]
+    if active is not None:
+        suspect = suspect & active
+
+    r = origin.shape[0]
+    s_cap = max_suspects or min(max(r // 8, 512), r)
+
+    def wide_exact(o, d, act):
+        rw = o.shape[0]
+        s2 = min(max(rw // 8, 128), rw)
+        wide = tp.intersect_bvh_pallas(
+            o, d, triangles, bvh, act, kp=8, ksel=16
+        )
+        still = (wide.pop("dropped_min") < wide["t"]) & act
+
+        def brute_tier(args2):
+            wide, still = args2
+
+            def brute_exact(o2, d2, act2):
+                return intersect_bruteforce_chunked(o2, d2, triangles, act2)
+
+            return _repair_suspects(wide, still, brute_exact, o, d, s2)
 
         return jax.lax.cond(
-            n_sus <= s_cap, compact_path, full_path, (hit, suspect)
+            jnp.any(still), brute_tier, lambda a: a[0], (wide, still)
         )
 
-    return jax.lax.cond(
-        jnp.any(suspect), escalate, lambda a: a[0], (hit, suspect)
-    )
+    return _repair_suspects(hit, suspect, wide_exact, origin, direction, s_cap)
 
 
 def intersect_scene(
     scene, origin: Vec3, direction: Vec3, active=None, method: str = "topk",
-    k: int = 8, k_leaf: int = 8,
+    k: int = 8, k_leaf: int = 8, k_pallas: int = 2,
 ):
     """ray_scene_hit (raytracer.c:497-503) + the sphere pass: nearest hit
     among BVH triangles and analytic spheres.
 
-    method: "topk" (dense + exactness verification — the TPU production
-    path), "topk_fast" (single unverified pass), "dfs" (exact ordered DFS),
-    or "brute" (exhaustive oracle).
+    method: "pallas" (fused Pallas kernel + tiered exactness escalation —
+    the TPU production path), "pallas_fast" (single unverified kernel
+    pass), "topk" (XLA dense + exactness verification), "topk_fast"
+    (single unverified pass), "dfs" (exact ordered DFS), or "brute"
+    (exhaustive oracle).
     Returns dict(t, tri, sph, u, v); tri/sph are -1 where not the winner.
     """
-    if method == "dfs":
+    if method == "pallas":
+        hit = intersect_bvh_pallas_verified(
+            origin, direction, scene.triangles, scene.bvh, active, kp=k_pallas,
+        )
+    elif method == "pallas_fast":
+        from raytracing_c_tpu.ops import traverse_pallas as tp
+
+        hit = tp.intersect_bvh_pallas(
+            origin, direction, scene.triangles, scene.bvh, active, kp=k_pallas,
+        )
+        hit.pop("dropped_min")
+    elif method == "dfs":
         hit = intersect_bvh(origin, direction, scene.triangles, scene.bvh, active)
     elif method == "topk":
         hit = intersect_bvh_verified(

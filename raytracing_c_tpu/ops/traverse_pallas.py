@@ -1,0 +1,401 @@
+"""Fused BVH traversal + leaf test as a Pallas TPU kernel.
+
+Reference algorithm: ray_bvh_node_hit (raytracer.c:443-483) + the 8-wide
+leaf test ray_triangles_hit_8 (raytracer.c:84-188), re-designed
+level-synchronous for the TPU (no per-ray stacks, no data-dependent control
+flow) with every per-ray table fetch expressed as a ONE-HOT MATMUL against
+VMEM-resident tables. The MXU runs ~70x faster than the VPU and one-hot
+selection is exact (1.0*x is exact, adding zeros is exact), so the fetches
+that are HBM-latency-bound 512-byte row gathers in the XLA path
+(docs/PERF.md) run at matmul speed here (measured in tools/mxu_probe.py).
+
+Structure per ray tile (helmet.glb: depth 4):
+
+  root slab (static row)                      ->  8 level-1 candidates
+  fetch 8 node rows (one-hot, G=8)    + slab  -> 64 level-2 candidates
+  select-8 -> fetch node rows (G=64)  + slab  -> 64 level-3 candidates
+  select-8 -> fetch node rows (G=512) + slab  -> 64 leaf-block candidates
+                                           (8 sibling blocks x 8 parents)
+  rank top blocks individually, greedily cover them with kp DISTINCT
+  parent groups -> fetch kp leaf super-rows (576 x G=512, f32)
+  Moller-Trumbore on kp*64 triangles  -> best (t, u, v, tri) + certificate
+
+Escalation passes rerun the same kernel with wider selection (ksel=16
+candidates per level) and more groups (kp up to 16) on a compacted suspect
+buffer — see intersect_bvh_pallas_verified in ops/traverse.py.
+
+Soundness:
+- all tables are fetched in full f32 (the MXU's f32 path runs at the same
+  MAC rate as bf16 on this chip — tools/mxu_probe.py — so there is nothing
+  to trade), and a one-hot selection reconstructs stored values exactly;
+- every candidate a selection drops contributes its EXACT f32 entry
+  distance to `dropped_min` (via the in-place mask `_extract` leaves
+  behind) — the same exactness certificate as
+  intersect_bvh_topk(with_bound=True). Surface meshes produce constant
+  near-ties between a hit and its neighbor boxes' entry distances, so even
+  a 0.01% round-down in the certificate would flood the escalation with
+  false suspects (measured: 10x the true suspect rate);
+- found hits are genuine triangle intersections computed by the shared
+  intersect.moller_trumbore formulas. On near-grazing hits (|det| ~ 1e-6
+  relative to its operands) the f32 result carries the conditioning of the
+  formula itself, so two schedulings of the same math can differ by ~0.1%
+  there; tests tolerate exactly that class and nothing else.
+
+Selection packs the candidate id into the low 13 mantissa bits of the
+(non-negative) distance and compares as int32: for non-negative floats the
+int order equals the float order, and the id bits make keys unique so the
+min+mask extraction never collides. The rounded keys are used for RANKING
+only; the certificate reads back exact distances.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracing_c_tpu import BVH_WIDTH, EPSILON
+from raytracing_c_tpu.ops import intersect
+from raytracing_c_tpu.utils.vec3 import Vec3
+
+W = BVH_WIDTH  # 8
+INF = float("inf")  # python literal: pallas kernels may not capture jnp consts
+
+# finite sentinel for "no candidate": packs into the key without becoming
+# inf/nan after the id bits are stuffed into the mantissa
+BIG = float(np.float32(2.0e38))
+BIG_BITS = int(np.float32(1.0e38).view(np.int32))  # validity threshold
+MAXI = 0x7FFFFFFF
+
+ID_BITS = 13  # level-relative ids: supports trees up to depth 5 (G=4096)
+ID_MASK = (1 << ID_BITS) - 1
+
+#: rays per grid step; tables are VMEM-resident across steps
+R_TILE = 512
+
+#: precision for the exact f32 leaf fetch. Default (None) uses the TPU's
+#: 3-pass f32 matmul which reconstructs one-hot selections exactly; flip to
+#: jax.lax.Precision.HIGHEST if a platform's default ever fails the
+#: tools/tpu_parity.py bit-exactness check.
+LEAF_PRECISION = None
+
+
+def _iota(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _pack(dist, ids):
+    """(dist, id) -> one int32 sort key. dist must be >= 0 (or +inf)."""
+    d = jnp.minimum(dist, BIG)
+    bits = jax.lax.bitcast_convert_type(d, jnp.int32)
+    return (bits & ~ID_MASK) | ids
+
+
+def _unpack_dist(keys):
+    """Recover the (rounded-down) distance; sentinels decode to +inf."""
+    d = jax.lax.bitcast_convert_type(keys & ~ID_MASK, jnp.float32)
+    return jnp.where(keys >= BIG_BITS, INF, d)
+
+
+def _extract(keys, n):
+    """Pop the n smallest keys of a (C, R) int32 key array, one min-reduce
+    per pop (the reference's nearest-first selection loop,
+    raytracer.c:459-474, made rank-based). Returns ((n, R) keys, remaining).
+    Valid keys are unique (id bits), so `== m` masks exactly one entry.
+    `remaining` is the INPUT array with popped entries masked to MAXI in
+    place, so callers can recover the un-rounded f32 distance of every
+    unselected candidate (the exact certificate) by masking the original
+    distances with `remaining != MAXI`."""
+    sels = []
+    for _ in range(n):
+        m = jnp.min(keys, axis=0, keepdims=True)
+        sels.append(m)
+        keys = jnp.where(keys == m, MAXI, keys)
+    return jnp.concatenate(sels, axis=0), keys
+
+
+def _slab48(rows, o, inv, tmax):
+    """rows: (48, C) node row [component*8 + child] -> (8, C*R or R) entry
+    distances via the shared slab test (reference raytracer.c:190-230)."""
+    bmin = Vec3(rows[0:8], rows[8:16], rows[16:24])
+    bmax = Vec3(rows[24:32], rows[32:40], rows[40:48])
+    return intersect.aabb_slab(o, inv, bmin, bmax, EPSILON, tmax)
+
+
+def _fetch(table_ref, ids, out_dtype=jnp.float32, precision=None):
+    """One-hot matmul row fetch: table (Wc, G) x onehot(G, R) -> (Wc, R).
+
+    The one-hot has the table's dtype so bf16 tables take the fast MXU path;
+    accumulation is always f32 (preferred_element_type), making the fetched
+    values exactly the stored ones."""
+    g = table_ref.shape[1]
+    r = ids.shape[-1]
+    oh = (_iota((g, r), 0) == ids).astype(table_ref.dtype)
+    return jax.lax.dot_general(
+        table_ref[:], oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=out_dtype, precision=precision,
+    )
+
+
+def _traverse_kernel(depth, ksel, kp, rays_ref, root_ref, *refs):
+    """The kernel body. refs = node level tables (levels 1..depth-1),
+    leaf super table, out_ref — all f32. ksel = candidates kept per level;
+    kp = leaf groups fetched."""
+    node_refs = refs[: depth - 1]
+    leaf_ref = refs[depth - 1]
+    out_ref = refs[depth]
+
+    r = rays_ref.shape[1]
+    o = Vec3(rays_ref[0:1, :], rays_ref[1:2, :], rays_ref[2:3, :])
+    d = Vec3(rays_ref[3:4, :], rays_ref[4:5, :], rays_ref[5:6, :])
+    act = rays_ref[6:7, :] > 0.0
+    tmax = rays_ref[7:8, :]  # per-ray pruning bound (the refine pass feeds
+    # the explore pass's best_t here — the reference's best-t pruning,
+    # raytracer.c:470, recovered level-synchronously)
+    inv = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)
+
+    # --- root: static row, children are the level-1 candidates -------------
+    root_rows = root_ref[:, 0:1].astype(jnp.float32)  # (48, 1)
+    cand_d = jnp.where(act, _slab48(root_rows, o, inv, tmax), INF)  # (8, R)
+    cand_id = jnp.broadcast_to(_iota((W, 1), 0), (W, r))
+
+    dropped = jnp.full((1, r), INF)
+    sel_ids = cand_id
+    sel_valid = jnp.isfinite(cand_d)
+
+    # --- internal levels ----------------------------------------------------
+    for li in range(depth - 1):
+        if cand_d.shape[0] > ksel:
+            keys = _pack(cand_d, cand_id)
+            sel, rem = _extract(keys, ksel)
+            # certificate from the EXACT f32 distances of the unselected
+            # candidates (decoding the rounded keys instead costs ~0.01%
+            # round-down, which near-ties on surface meshes trip constantly)
+            dropped = jnp.minimum(
+                dropped,
+                jnp.min(
+                    jnp.where(rem != MAXI, cand_d, INF),
+                    axis=0, keepdims=True,
+                ),
+            )
+            sel_ids = sel & ID_MASK  # (ksel, R)
+            sel_valid = sel < BIG_BITS
+        else:
+            sel_ids, sel_valid = cand_id, jnp.isfinite(cand_d)
+
+        new_d, new_id = [], []
+        for k in range(sel_ids.shape[0]):
+            rows = _fetch(node_refs[li], sel_ids[k : k + 1])  # (48, R) f32
+            d8 = _slab48(rows, o, inv, tmax)  # (8, R)
+            new_d.append(jnp.where(sel_valid[k : k + 1], d8, INF))
+            new_id.append(sel_ids[k : k + 1] * W + _iota((W, 1), 0))
+        cand_d = jnp.concatenate(new_d, axis=0)  # (8*ksel, R)
+        cand_id = jnp.concatenate(new_id, axis=0)
+
+    # cand_* now hold leaf BLOCK candidates (rel id = parent_rel*8 + sibling)
+
+    # --- leaf phase ----------------------------------------------------------
+    if depth == 1:
+        # single group: the root's children ARE the blocks (scene.c:224-233
+        # clamped to depth >= 1 — see models/bvh.py). Static fetch.
+        f = jnp.broadcast_to(leaf_ref[:, 0:1], (leaf_ref.shape[0], r))
+        groups = [(f, jnp.zeros((1, r), jnp.int32), act)]
+    else:
+        # Select the 8 individually-nearest blocks (the XLA path's
+        # k_leaf=8 rule), then greedily cover them with kp DISTINCT parent
+        # groups in rank order. Rays whose top-8 blocks span <= kp groups
+        # get exactly the XLA selection — plus whole-group neighbors tested
+        # for free; uncovered top blocks feed the certificate instead.
+        nb = max(kp, W)  # rank this many blocks for group coverage
+        bkeys = _pack(cand_d, cand_id)
+        bsel, _brem = _extract(bkeys, nb)  # (nb, R) nearest blocks
+        bval = bsel < BIG_BITS
+        bgrp = (bsel & ID_MASK) >> 3  # parent group of each top block
+        rank_iota = _iota((nb, 1), 0) + jnp.zeros((nb, r), jnp.int32)
+
+        groups = []
+        covered = jnp.zeros((nb, r), bool)
+        for _p in range(kp):
+            avail = bval & ~covered
+            first = jnp.min(
+                jnp.where(avail, rank_iota, MAXI), axis=0, keepdims=True
+            )
+            has = first < nb
+            oh = rank_iota == first
+            grel = jnp.sum(jnp.where(oh, bgrp, 0), axis=0, keepdims=True)
+            covered = covered | ((bgrp == grel) & has)
+            f = _fetch(leaf_ref, grel, precision=LEAF_PRECISION)  # (576, R)
+            groups.append((f, grel, has))
+
+        # exact certificate: every block whose group was NOT fetched
+        # contributes its true f32 entry distance
+        cand_grp = cand_id >> 3
+        in_fetched = jnp.zeros((cand_d.shape[0], r), bool)
+        for _f, grel, has in groups:
+            in_fetched = in_fetched | ((cand_grp == grel) & has)
+        dropped = jnp.minimum(
+            dropped,
+            jnp.min(
+                jnp.where(in_fetched, INF, cand_d), axis=0, keepdims=True
+            ),
+        )
+
+    # --- Moller-Trumbore over each selected group's 64 triangles -----------
+    best_t = jnp.full((1, r), INF)
+    best_tri = jnp.full((1, r), MAXI, jnp.int32)
+    best_u = jnp.zeros((1, r), jnp.float32)
+    best_v = jnp.zeros((1, r), jnp.float32)
+    tri_iota = _iota((W * W, 1), 0)
+    for f, grel, gval in groups:
+        v0 = Vec3(f[0:64], f[64:128], f[128:192])
+        e1 = Vec3(f[192:256], f[256:320], f[320:384])
+        e2 = Vec3(f[384:448], f[448:512], f[512:576])
+        t, u, v = intersect.moller_trumbore(o, d, v0, e1, e2)  # (64, R)
+        t = jnp.where(gval, t, INF)
+        tri = grel * (W * W) + tri_iota  # (64, R)
+
+        tmin = jnp.min(t, axis=0, keepdims=True)
+        is_min = t == tmin
+        tri_min = jnp.min(
+            jnp.where(is_min, tri, MAXI), axis=0, keepdims=True
+        )
+        pick = is_min & (tri == tri_min)
+        u_sel = jnp.sum(jnp.where(pick, u, 0.0), axis=0, keepdims=True)
+        v_sel = jnp.sum(jnp.where(pick, v, 0.0), axis=0, keepdims=True)
+
+        # nearer-t wins; ties pick the lower triangle id (the oracle's
+        # argmin-first-index rule)
+        better = (tmin < best_t) | ((tmin == best_t) & (tri_min < best_tri))
+        best_u = jnp.where(better, u_sel, best_u)
+        best_v = jnp.where(better, v_sel, best_v)
+        best_tri = jnp.where(better, tri_min, best_tri)
+        best_t = jnp.where(better, tmin, best_t)
+
+    out_ref[:] = jnp.concatenate(
+        [
+            best_t,
+            best_u,
+            best_v,
+            best_tri.astype(jnp.float32),
+            dropped,
+            jnp.zeros((3, r), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
+def _pad_cols(a, g):
+    gp = max(g, 128)
+    if gp % 128:
+        gp += 128 - gp % 128
+    return jnp.pad(a, ((0, 0), (0, gp - a.shape[1])))
+
+
+def build_tables(triangles, bvh):
+    """Device-side table prep (runs inside the caller's jit; a few hundred
+    KB of transposes, negligible next to a bounce).
+
+    Returns (root (48,128) bf16, [level tables (48, G_l) bf16], leaf super
+    table (576, G_leaf) f32) where leaf super-row g packs the 64 triangles
+    of level-(depth-1) node g's 8 child blocks, component-major:
+    row c*64 + s*8 + lane, c in (v0.x v0.y v0.z e1.* e2.*)."""
+    depth = bvh.depth
+    nodes = bvh.nodes
+
+    root = _pad_cols(jnp.transpose(nodes[0:1, : 6 * W]), 1)
+    levels = []
+    for lvl in range(1, depth):
+        s = (W**lvl - 1) // (W - 1)
+        g = W**lvl
+        levels.append(_pad_cols(jnp.transpose(nodes[s : s + g, : 6 * W]), g))
+
+    n_blocks = triangles.leaf_rows.shape[0]
+    g_leaf = max(n_blocks // W, 1)
+    lr = triangles.leaf_rows.reshape(g_leaf, W, 16, W)[:, :, :9, :]
+    leaf = _pad_cols(
+        jnp.transpose(lr, (2, 1, 3, 0)).reshape(9 * W * W, g_leaf), g_leaf
+    )
+    return root, levels, leaf
+
+
+def scene_fits(triangles, bvh, budget_bytes: int = 10 * 2**20) -> bool:
+    """Whether this scene can take the Pallas path: tree depth <= 4 (the
+    13-bit id packing bounds leaf-block rel ids to 8192) and the tables +
+    working set fit the VMEM budget. Scenes beyond ~32k triangles fall back
+    to the XLA top-k path (roadmap: stream leaf super-rows from HBM)."""
+    if bvh.depth > 4:
+        return False
+    n_blocks = triangles.leaf_rows.shape[0]
+    leaf_bytes = max(n_blocks // W, 128) * 9 * W * W * 4
+    node_bytes = bvh.nodes.shape[0] * 6 * W * 4
+    working = R_TILE * (2 * max(n_blocks // W, 128) + 4096) * 4
+    return leaf_bytes + node_bytes + working < budget_bytes
+
+
+def intersect_bvh_pallas(
+    origin: Vec3, direction: Vec3, triangles, bvh, active=None, kp: int = 2,
+    ksel: int = 8, t_max=None, interpret: bool | None = None,
+):
+    """Single-pass fused traversal (Pallas). Returns dict(t, tri, u, v,
+    dropped_min) with the same semantics/certificate as
+    intersect_bvh_topk(with_bound=True).
+
+    t_max: optional (R,) per-ray pruning bound: subtrees entered at or
+    beyond it are skipped AND excluded from the certificate (only hits
+    strictly closer than t_max can be found/certified). Used by the refine
+    pass of intersect_bvh_pallas2 with pass 1's best_t."""
+    r = origin.shape[0]
+    depth = bvh.depth
+    kp = min(kp, max(W, ksel))
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+
+    root, levels, leaf = build_tables(triangles, bvh)
+
+    r_pad = ((r + R_TILE - 1) // R_TILE) * R_TILE
+    if active is None:
+        act = jnp.ones((r,), jnp.float32)
+    else:
+        act = active.astype(jnp.float32)
+    if t_max is None:
+        t_max = jnp.full((r,), INF, jnp.float32)
+    rays = jnp.stack(
+        [origin.x, origin.y, origin.z,
+         direction.x, direction.y, direction.z,
+         act, t_max],
+        axis=0,
+    )
+    rays = jnp.pad(rays, ((0, 0), (0, r_pad - r)))
+
+    tables = [root, *levels, leaf]
+    full = lambda t: pl.BlockSpec(  # noqa: E731
+        t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_traverse_kernel, depth, ksel, kp),
+        grid=(r_pad // R_TILE,),
+        in_specs=[
+            pl.BlockSpec((8, R_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            *[full(t) for t in tables],
+        ],
+        out_specs=pl.BlockSpec((8, R_TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+        interpret=interpret,
+    )(rays, *tables)
+
+    t = out[0, :r]
+    hit = jnp.isfinite(t)
+    return {
+        "t": t,
+        "u": out[1, :r],
+        "v": out[2, :r],
+        "tri": jnp.where(hit, out[3, :r].astype(jnp.int32), -1),
+        "dropped_min": out[4, :r],
+    }
+

@@ -121,7 +121,21 @@ def render(
     (falls back to fused under a mesh).
     """
     if method == "auto":
-        method = "topk" if scene.triangles.capacity > 64 else "brute"
+        if scene.triangles.capacity <= 64:
+            # tiny scenes: the reference's own exhaustive oracle path
+            method = "brute"
+        else:
+            from raytracing_c_tpu.ops import traverse_pallas as tp
+
+            # the fused Pallas kernel is the production path on real
+            # devices; CPU (tests / dryrun) keeps the XLA top-k path since
+            # pallas interpret mode is orders of magnitude slower
+            on_cpu = jax.devices()[0].platform == "cpu"
+            method = (
+                "pallas"
+                if not on_cpu and tp.scene_fits(scene.triangles, scene.bvh)
+                else "topk"
+            )
 
     n_pixels = width * height
     if batch_pixels is None:

@@ -1,0 +1,179 @@
+"""Fused Pallas traversal vs the exact oracles (CPU interpret mode).
+
+Exactness contract (ops/traverse_pallas.py docstring): the verified Pallas
+path must agree with the brute-force oracle on every ray UP TO the f32
+conditioning of the Moller-Trumbore formula itself — on near-grazing hits
+(|det| ~1e-6 relative) two schedulings of the same f32 math legitimately
+differ by ~0.1%, so a tiny fraction of rays may deviate within a loose
+relative tolerance while agreeing on the hit. Anything outside that class
+(true misses, wrong-by-more-than-conditioning distances) is a failure.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raytracing_c_tpu.ops import intersect, traverse
+from raytracing_c_tpu.ops import traverse_pallas as tp
+
+from helpers import random_mesh, random_rays, simple_scene, vec3_of
+
+TIGHT = dict(rtol=1e-5, atol=1e-6)
+# the grazing-hit conditioning class: same hit, f32 noise amplified by 1/det
+LOOSE = dict(rtol=1e-2, atol=1e-4)
+
+
+def _finite(a):
+    return np.where(np.isfinite(a), a, 1e30)
+
+
+def _assert_exact_up_to_conditioning(got_t, want_t, min_tight=0.995):
+    got, want = _finite(np.asarray(got_t)), _finite(np.asarray(want_t))
+    tight = np.isclose(got, want, **TIGHT)
+    assert tight.mean() >= min_tight, f"only {tight.mean():.4f} tight matches"
+    loose = np.isclose(got, want, **LOOSE)
+    bad = ~tight & ~loose
+    assert not bad.any(), (
+        f"{bad.sum()} rays beyond conditioning tolerance: "
+        f"got {got[bad][:5]} want {want[bad][:5]}"
+    )
+
+
+@pytest.mark.parametrize("n", [40, 900, 5000])
+def test_pallas_verified_exact(n, rng):
+    """Tiered pallas-verified path vs the brute-force oracle."""
+    mesh = random_mesh(n, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    brute = intersect.intersect_bruteforce(o, d, scene.triangles)
+    ver = traverse.intersect_bvh_pallas_verified(
+        o, d, scene.triangles, scene.bvh
+    )
+    _assert_exact_up_to_conditioning(ver["t"], brute["t"])
+
+
+def test_pallas_certificate_sound(rng):
+    """Unverified single pass: every wrong ray must carry the suspect
+    certificate (dropped_min < t) — modulo the FP-conditioning class."""
+    mesh = random_mesh(3000, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    brute = intersect.intersect_bruteforce(o, d, scene.triangles)
+    pal = tp.intersect_bvh_pallas(o, d, scene.triangles, scene.bvh, kp=2)
+
+    got, want = _finite(np.asarray(pal["t"])), _finite(np.asarray(brute["t"]))
+    tight = np.isclose(got, want, **TIGHT)
+    loose = np.isclose(got, want, **LOOSE)
+    suspect = np.asarray(pal["dropped_min"]) < np.asarray(pal["t"])
+    unexplained = ~tight & ~suspect & ~loose
+    assert not unexplained.any()
+
+
+def test_pallas_wide_pass_tightens(rng):
+    """ksel=16/kp=8 (the tier-1 escalation config) must leave fewer
+    suspects than the base pass."""
+    mesh = random_mesh(3000, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    base = tp.intersect_bvh_pallas(o, d, scene.triangles, scene.bvh, kp=2)
+    wide = tp.intersect_bvh_pallas(
+        o, d, scene.triangles, scene.bvh, kp=8, ksel=16
+    )
+    s_base = (np.asarray(base["dropped_min"]) < np.asarray(base["t"])).mean()
+    s_wide = (np.asarray(wide["dropped_min"]) < np.asarray(wide["t"])).mean()
+    assert s_wide <= s_base
+    assert s_wide < 0.05
+
+
+def test_pallas_inactive_rays(rng):
+    mesh = random_mesh(100, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(64, rng)
+    hit = tp.intersect_bvh_pallas(
+        vec3_of(origin), vec3_of(direction), scene.triangles, scene.bvh,
+        active=jnp.zeros((64,), bool),
+    )
+    assert not np.isfinite(np.asarray(hit["t"])).any()
+    assert (np.asarray(hit["tri"]) == -1).all()
+    # no suspects on inactive rays either
+    assert not (np.asarray(hit["dropped_min"]) < np.asarray(hit["t"])).any()
+
+
+def test_pallas_depth1_scene(rng):
+    """quad-sized scenes: a single static leaf fetch, no level loop."""
+    mesh = random_mesh(10, rng)
+    scene = simple_scene(mesh)
+    assert scene.bvh.depth == 1
+    origin, direction = random_rays(128, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+    brute = intersect.intersect_bruteforce(o, d, scene.triangles)
+    ver = traverse.intersect_bvh_pallas_verified(
+        o, d, scene.triangles, scene.bvh
+    )
+    _assert_exact_up_to_conditioning(ver["t"], brute["t"])
+
+
+def test_pallas_ragged_batch(rng):
+    """Batch sizes that are not a multiple of the ray tile must pad/slice
+    transparently and give identical results to a one-tile call."""
+    mesh = random_mesh(900, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(700, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+    ragged = tp.intersect_bvh_pallas(o, d, scene.triangles, scene.bvh)
+
+    pad = tp.R_TILE * 2 - 700
+    op = vec3_of(np.concatenate([origin, origin[:pad]]))
+    dp = vec3_of(np.concatenate([direction, direction[:pad]]))
+    full = tp.intersect_bvh_pallas(op, dp, scene.triangles, scene.bvh)
+    np.testing.assert_array_equal(
+        np.asarray(ragged["t"]), np.asarray(full["t"])[:700]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ragged["tri"]), np.asarray(full["tri"])[:700]
+    )
+
+
+def test_pallas_uv_match_on_agreeing_hits(rng):
+    """Where pallas and the oracle pick the same triangle, the barycentrics
+    must agree too (the shade stage consumes them)."""
+    mesh = random_mesh(900, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+    brute = intersect.intersect_bruteforce(o, d, scene.triangles)
+    ver = traverse.intersect_bvh_pallas_verified(
+        o, d, scene.triangles, scene.bvh
+    )
+    hits = np.isfinite(np.asarray(brute["t"])) & np.isfinite(
+        np.asarray(ver["t"])
+    )
+    same = (
+        (np.asarray(ver["tri"]) == np.asarray(brute["tri"]))
+        & hits
+        & np.isclose(
+            _finite(np.asarray(ver["t"])),
+            _finite(np.asarray(brute["t"])), **TIGHT,
+        )
+    )
+    assert same.sum() > 0.9 * hits.sum()
+    np.testing.assert_allclose(
+        np.asarray(ver["u"])[same], np.asarray(brute["u"])[same],
+        rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ver["v"])[same], np.asarray(brute["v"])[same],
+        rtol=1e-3, atol=1e-4,
+    )
+
+
+def test_pallas_scene_fits_gate(rng):
+    mesh = random_mesh(900, rng)
+    scene = simple_scene(mesh)
+    assert tp.scene_fits(scene.triangles, scene.bvh)
