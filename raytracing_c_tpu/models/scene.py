@@ -346,6 +346,9 @@ class Scene(struct.PyTreeNode):
     background: Background
     camera: Camera
     n_triangles: int = struct.field(pytree_node=False, default=0)
+    #: compacted Pallas traversal tables (ops/traverse_pallas.PallasTables) —
+    #: DERIVED data, rebuilt from nodes/leaf_rows on load, never serialized
+    ptables: Any = None
 
 
 # ---------------------------------------------------------------------------
@@ -490,6 +493,8 @@ def build_scene(
     """scene_init (scene.c:416-426): build the BVH and pack the SoA store."""
     from raytracing_c_tpu.models.bvh import build_bvh
 
+    from raytracing_c_tpu.ops.traverse_pallas import build_tables_host
+
     bvh, slot_map, _capacity = build_bvh(mesh)
     triangles = pack_triangles(mesh, slot_map)
     return Scene(
@@ -501,4 +506,5 @@ def build_scene(
         background=background,
         camera=camera,
         n_triangles=int(mesh.positions.shape[0]),
+        ptables=build_tables_host(bvh.nodes, triangles.leaf_rows, bvh.depth),
     )

@@ -134,6 +134,10 @@ def load_scene_cache(path: str) -> Scene:
     background = Background(
         kind=bg_kind, color=jnp.asarray(z["bg_color"]), tex_id=bg_tex
     )
+    # ptables are DERIVED (compacted traversal tables) — rebuilt here
+    # rather than stored, so the on-disk format is unchanged
+    from raytracing_c_tpu.ops.traverse_pallas import build_tables_host
+
     return Scene(
         triangles=tris,
         bvh=bvh,
@@ -143,4 +147,5 @@ def load_scene_cache(path: str) -> Scene:
         background=background,
         camera=camera,
         n_triangles=n_triangles,
+        ptables=build_tables_host(bvh.nodes, tris.leaf_rows, depth),
     )

@@ -13,16 +13,25 @@ Structure per ray tile (helmet.glb: depth 4):
 
   root slab (static row)                      ->  8 level-1 candidates
   fetch 8 node rows (one-hot, G=8)    + slab  -> 64 level-2 candidates
-  select-8 -> fetch node rows (G=64)  + slab  -> 64 level-3 candidates
-  select-8 -> fetch node rows (G=512) + slab  -> 64 leaf-block candidates
+  select-8 -> fetch node rows (G~64)  + slab  -> 64 level-3 candidates
+  select-8 -> fetch node rows (G~256) + slab  -> 64 leaf-block candidates
                                            (8 sibling blocks x 8 parents)
   rank top blocks individually, greedily cover them with kp DISTINCT
-  parent groups -> fetch kp leaf super-rows (576 x G=512, f32)
+  parent groups -> fetch kp leaf super-rows (576 x G~256, f32)
   Moller-Trumbore on kp*64 triangles  -> best (t, u, v, tri) + certificate
 
 Escalation passes rerun the same kernel with wider selection (ksel=16
 candidates per level) and more groups (kp up to 16) on a compacted suspect
 buffer — see intersect_bvh_pallas_verified in ops/traverse.py.
+
+Table compaction: the implicit complete tree pads to 8^depth leaf blocks,
+so on helmet ~half of every table is empty slots. One-hot matmul cost is
+G * fetched_floats per selection, so empty columns are pure waste: tables
+keep only NONEMPTY nodes/groups, and each node row carries the COMPACT
+column ids of its 8 children in lanes 48..55 (fetched together with the
+boxes, so no extra lookup is ever needed). Canonical level-relative ids
+still flow through selection for triangle-id reconstruction and the
+certificate; compact ids are used only to address fetches.
 
 Soundness:
 - all tables are fetched in full f32 (the MXU's f32 path runs at the same
@@ -51,10 +60,12 @@ only; the certificate reads back exact distances.
 from __future__ import annotations
 
 import functools
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -74,6 +85,9 @@ MAXI = 0x7FFFFFFF
 ID_BITS = 13  # level-relative ids: supports trees up to depth 5 (G=4096)
 ID_MASK = (1 << ID_BITS) - 1
 
+# node-table row layout: 48 box components + the 8 children's COMPACT ids
+NROWS = 56
+
 #: rays per grid step; tables are VMEM-resident across steps
 R_TILE = 512
 
@@ -82,6 +96,18 @@ R_TILE = 512
 #: jax.lax.Precision.HIGHEST if a platform's default ever fails the
 #: tools/tpu_parity.py bit-exactness check.
 LEAF_PRECISION = None
+
+
+class PallasTables(struct.PyTreeNode):
+    """Precomputed, compacted traversal tables (derived from the scene;
+    rebuilt on deserialization, never stored). `levels[l-1]` is the level-l
+    node table (NROWS, Gc_l); `leaf` packs each nonempty level-(depth-1)
+    node's 64 triangles component-major into one (576, Gc) column."""
+
+    root: Any  # (NROWS, 128) f32
+    levels: Any  # tuple of (NROWS, Gc_l) f32
+    leaf: Any  # (576, Gc_leaf) f32
+    depth: int = struct.field(pytree_node=False)
 
 
 def _iota(shape, dim):
@@ -93,12 +119,6 @@ def _pack(dist, ids):
     d = jnp.minimum(dist, BIG)
     bits = jax.lax.bitcast_convert_type(d, jnp.int32)
     return (bits & ~ID_MASK) | ids
-
-
-def _unpack_dist(keys):
-    """Recover the (rounded-down) distance; sentinels decode to +inf."""
-    d = jax.lax.bitcast_convert_type(keys & ~ID_MASK, jnp.float32)
-    return jnp.where(keys >= BIG_BITS, INF, d)
 
 
 def _extract(keys, n):
@@ -118,26 +138,30 @@ def _extract(keys, n):
     return jnp.concatenate(sels, axis=0), keys
 
 
+def _match_select(keys, sel_row, values):
+    """Recover `values` of the candidate whose key equals sel_row: one-hot
+    over the candidate axis (cheap — C <= 128 rows)."""
+    oh = keys == sel_row
+    return jnp.sum(jnp.where(oh, values, 0), axis=0, keepdims=True)
+
+
 def _slab48(rows, o, inv, tmax):
-    """rows: (48, C) node row [component*8 + child] -> (8, C*R or R) entry
-    distances via the shared slab test (reference raytracer.c:190-230)."""
+    """rows: (>=48, C) node row [component*8 + child] -> (8, C*R or R)
+    entry distances via the shared slab test (raytracer.c:190-230)."""
     bmin = Vec3(rows[0:8], rows[8:16], rows[16:24])
     bmax = Vec3(rows[24:32], rows[32:40], rows[40:48])
     return intersect.aabb_slab(o, inv, bmin, bmax, EPSILON, tmax)
 
 
-def _fetch(table_ref, ids, out_dtype=jnp.float32, precision=None):
+def _fetch(table_ref, ids, precision=None):
     """One-hot matmul row fetch: table (Wc, G) x onehot(G, R) -> (Wc, R).
-
-    The one-hot has the table's dtype so bf16 tables take the fast MXU path;
-    accumulation is always f32 (preferred_element_type), making the fetched
-    values exactly the stored ones."""
+    Accumulation of 1.0*x plus zeros reconstructs stored f32 exactly."""
     g = table_ref.shape[1]
     r = ids.shape[-1]
     oh = (_iota((g, r), 0) == ids).astype(table_ref.dtype)
     return jax.lax.dot_general(
         table_ref[:], oh, (((1,), (0,)), ((), ())),
-        preferred_element_type=out_dtype, precision=precision,
+        preferred_element_type=jnp.float32, precision=precision,
     )
 
 
@@ -153,50 +177,95 @@ def _traverse_kernel(depth, ksel, kp, rays_ref, root_ref, *refs):
     o = Vec3(rays_ref[0:1, :], rays_ref[1:2, :], rays_ref[2:3, :])
     d = Vec3(rays_ref[3:4, :], rays_ref[4:5, :], rays_ref[5:6, :])
     act = rays_ref[6:7, :] > 0.0
-    tmax = rays_ref[7:8, :]  # per-ray pruning bound (the refine pass feeds
-    # the explore pass's best_t here — the reference's best-t pruning,
-    # raytracer.c:470, recovered level-synchronously)
+    tmax = rays_ref[7:8, :]  # per-ray pruning bound (INF by default)
     inv = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)
 
     # --- root: static row, children are the level-1 candidates -------------
-    root_rows = root_ref[:, 0:1].astype(jnp.float32)  # (48, 1)
+    root_rows = root_ref[:, 0:1].astype(jnp.float32)  # (NROWS, 1)
     cand_d = jnp.where(act, _slab48(root_rows, o, inv, tmax), INF)  # (8, R)
     cand_id = jnp.broadcast_to(_iota((W, 1), 0), (W, r))
+    cand_cid = jnp.broadcast_to(
+        root_rows[48:56].astype(jnp.int32), (W, r)
+    )
 
     dropped = jnp.full((1, r), INF)
-    sel_ids = cand_id
-    sel_valid = jnp.isfinite(cand_d)
 
     # --- internal levels ----------------------------------------------------
     for li in range(depth - 1):
-        if cand_d.shape[0] > ksel:
-            keys = _pack(cand_d, cand_id)
-            sel, rem = _extract(keys, ksel)
-            # certificate from the EXACT f32 distances of the unselected
-            # candidates (decoding the rounded keys instead costs ~0.01%
-            # round-down, which near-ties on surface meshes trip constantly)
-            dropped = jnp.minimum(
-                dropped,
-                jnp.min(
-                    jnp.where(rem != MAXI, cand_d, INF),
-                    axis=0, keepdims=True,
-                ),
-            )
-            sel_ids = sel & ID_MASK  # (ksel, R)
-            sel_valid = sel < BIG_BITS
-        else:
-            sel_ids, sel_valid = cand_id, jnp.isfinite(cand_d)
+        if li == 0:
+            # Level 1: all 8 root children expand (ksel >= 8), and their
+            # table columns are STATIC (level-1 compaction is forced to the
+            # identity), so each fetch is a static column read — no one-hot
+            # matmul, and no lane-replicated dynamic index for Mosaic to
+            # lower as an unsupported both-axis broadcast.
+            last = depth == 2
+            valid = jnp.isfinite(cand_d)
+            new_d, new_id, new_cid = [], [], []
+            for k in range(W):
+                rows = node_refs[0][:, k : k + 1]  # (NROWS, 1) static
+                d8 = _slab48(rows, o, inv, tmax)  # (8, R) via broadcast
+                new_d.append(jnp.where(valid[k : k + 1], d8, INF))
+                new_id.append(
+                    jnp.broadcast_to(_iota((W, 1), 0) + k * W, (W, r))
+                )
+                if last:
+                    # children are blocks; leaf super col = parent col = k
+                    new_cid.append(jnp.full((W, r), k, jnp.int32))
+                else:
+                    new_cid.append(
+                        jnp.broadcast_to(
+                            rows[48:56].astype(jnp.int32), (W, r)
+                        )
+                    )
+            cand_d = jnp.concatenate(new_d, axis=0)
+            cand_id = jnp.concatenate(new_id, axis=0)
+            cand_cid = jnp.concatenate(new_cid, axis=0)
+            continue
 
-        new_d, new_id = [], []
+        n = min(ksel, cand_d.shape[0])
+        keys = _pack(cand_d, cand_id)
+        sel, rem = _extract(keys, n)
+        # certificate from the EXACT f32 distances of the unselected
+        # candidates (decoding the rounded keys instead costs ~0.01%
+        # round-down, which near-ties on surface meshes trip constantly)
+        dropped = jnp.minimum(
+            dropped,
+            jnp.min(
+                jnp.where(rem != MAXI, cand_d, INF),
+                axis=0, keepdims=True,
+            ),
+        )
+        sel_ids = sel & ID_MASK  # (n, R)
+        sel_valid = sel < BIG_BITS
+        sel_cid = jnp.concatenate(
+            [
+                _match_select(keys, sel[k : k + 1], cand_cid)
+                for k in range(n)
+            ],
+            axis=0,
+        )
+
+        last = li == depth - 2
+        new_d, new_id, new_cid = [], [], []
         for k in range(sel_ids.shape[0]):
-            rows = _fetch(node_refs[li], sel_ids[k : k + 1])  # (48, R) f32
+            rows = _fetch(node_refs[li], sel_cid[k : k + 1])  # (NROWS, R)
             d8 = _slab48(rows, o, inv, tmax)  # (8, R)
             new_d.append(jnp.where(sel_valid[k : k + 1], d8, INF))
             new_id.append(sel_ids[k : k + 1] * W + _iota((W, 1), 0))
+            if last:
+                # children are leaf blocks; their super-row lives at the
+                # PARENT's compact column
+                new_cid.append(
+                    jnp.broadcast_to(sel_cid[k : k + 1], (W, r))
+                )
+            else:
+                new_cid.append(rows[48:56].astype(jnp.int32))
         cand_d = jnp.concatenate(new_d, axis=0)  # (8*ksel, R)
         cand_id = jnp.concatenate(new_id, axis=0)
+        cand_cid = jnp.concatenate(new_cid, axis=0)
 
-    # cand_* now hold leaf BLOCK candidates (rel id = parent_rel*8 + sibling)
+    # cand_* now hold leaf BLOCK candidates (rel id = parent_rel*8 + sib),
+    # cand_cid the compact leaf-super column of each block's parent
 
     # --- leaf phase ----------------------------------------------------------
     if depth == 1:
@@ -205,16 +274,23 @@ def _traverse_kernel(depth, ksel, kp, rays_ref, root_ref, *refs):
         f = jnp.broadcast_to(leaf_ref[:, 0:1], (leaf_ref.shape[0], r))
         groups = [(f, jnp.zeros((1, r), jnp.int32), act)]
     else:
-        # Select the 8 individually-nearest blocks (the XLA path's
-        # k_leaf=8 rule), then greedily cover them with kp DISTINCT parent
-        # groups in rank order. Rays whose top-8 blocks span <= kp groups
-        # get exactly the XLA selection — plus whole-group neighbors tested
-        # for free; uncovered top blocks feed the certificate instead.
+        # Select the individually-nearest blocks (the XLA path's k_leaf
+        # rule), then greedily cover them with kp DISTINCT parent groups in
+        # rank order. Rays whose top blocks span <= kp groups get exactly
+        # the XLA selection — plus whole-group neighbors tested for free;
+        # uncovered top blocks feed the certificate instead.
         nb = max(kp, W)  # rank this many blocks for group coverage
         bkeys = _pack(cand_d, cand_id)
         bsel, _brem = _extract(bkeys, nb)  # (nb, R) nearest blocks
         bval = bsel < BIG_BITS
-        bgrp = (bsel & ID_MASK) >> 3  # parent group of each top block
+        bgrp = (bsel & ID_MASK) >> 3  # canonical parent of each top block
+        bcid = jnp.concatenate(
+            [
+                _match_select(bkeys, bsel[i : i + 1], cand_cid)
+                for i in range(nb)
+            ],
+            axis=0,
+        )
         rank_iota = _iota((nb, 1), 0) + jnp.zeros((nb, r), jnp.int32)
 
         groups = []
@@ -227,8 +303,9 @@ def _traverse_kernel(depth, ksel, kp, rays_ref, root_ref, *refs):
             has = first < nb
             oh = rank_iota == first
             grel = jnp.sum(jnp.where(oh, bgrp, 0), axis=0, keepdims=True)
+            gcid = jnp.sum(jnp.where(oh, bcid, 0), axis=0, keepdims=True)
             covered = covered | ((bgrp == grel) & has)
-            f = _fetch(leaf_ref, grel, precision=LEAF_PRECISION)  # (576, R)
+            f = _fetch(leaf_ref, gcid, precision=LEAF_PRECISION)  # (576, R)
             groups.append((f, grel, has))
 
         # exact certificate: every block whose group was NOT fetched
@@ -288,73 +365,148 @@ def _traverse_kernel(depth, ksel, kp, rays_ref, root_ref, *refs):
     )
 
 
-def _pad_cols(a, g):
-    gp = max(g, 128)
-    if gp % 128:
-        gp += 128 - gp % 128
-    return jnp.pad(a, ((0, 0), (0, gp - a.shape[1])))
+def _round_up(n, m=128):
+    return max(((n + m - 1) // m) * m, m)
 
 
-def build_tables(triangles, bvh):
-    """Device-side table prep (runs inside the caller's jit; a few hundred
-    KB of transposes, negligible next to a bounce).
+def _level_offset(lvl):
+    return (W**lvl - 1) // (W - 1)
 
-    Returns (root (48,128) bf16, [level tables (48, G_l) bf16], leaf super
-    table (576, G_leaf) f32) where leaf super-row g packs the 64 triangles
-    of level-(depth-1) node g's 8 child blocks, component-major:
-    row c*64 + s*8 + lane, c in (v0.x v0.y v0.z e1.* e2.*)."""
+
+def build_tables_host(nodes, leaf_rows, depth) -> PallasTables:
+    """Compacted table build (host numpy, once per scene — build_scene and
+    the scene-cache loader both call this).
+
+    A node is nonempty iff its row carries any box data (real boxes are
+    +/-EPSILON padded so they are never all-zero, scene.c:177-188); empty
+    canonical slots map to compact column 0, which is only ever fetched
+    under an invalid selection mask."""
+    nodes = np.asarray(nodes, np.float32)
+    leaf_rows = np.asarray(leaf_rows, np.float32)
+
+    keep, cmap = {}, {}
+    for lvl in range(1, depth):
+        s, g = _level_offset(lvl), W**lvl
+        if lvl == 1:
+            # level 1 stays identity: the kernel reads its 8 columns
+            # statically (no one-hot), so canonical slot == column
+            keep[lvl] = np.arange(g)
+        else:
+            ne = np.abs(nodes[s : s + g, : 6 * W]).max(axis=1) > 0
+            keep[lvl] = np.nonzero(ne)[0]
+        cm = np.zeros(g, np.int64)
+        cm[keep[lvl]] = np.arange(len(keep[lvl]))
+        cmap[lvl] = cm
+
+    root = np.zeros((NROWS, 128), np.float32)
+    root[: 6 * W, 0] = nodes[0, : 6 * W]
+    if depth > 1:
+        root[48:56, 0] = cmap[1][:W]
+
+    levels = []
+    for lvl in range(1, depth):
+        idx = keep[lvl]
+        t = np.zeros((NROWS, _round_up(len(idx))), np.float32)
+        t[: 6 * W, : len(idx)] = nodes[_level_offset(lvl) + idx, : 6 * W].T
+        if lvl + 1 < depth:
+            ch = idx[:, None] * W + np.arange(W)[None, :]
+            t[48:56, : len(idx)] = cmap[lvl + 1][ch].T
+        levels.append(jnp.asarray(t))
+
+    # leaf super table: columns = compact level-(depth-1) ids
+    n_groups = max(leaf_rows.shape[0] // W, 1)
+    lr = leaf_rows.reshape(n_groups, W, 16, W)[:, :, :9, :]
+    arr = lr.transpose(2, 1, 3, 0).reshape(9 * W * W, n_groups)
+    if depth == 1:
+        sup = np.zeros((9 * W * W, 128), np.float32)
+        sup[:, :1] = arr
+    else:
+        idx = keep[depth - 1]
+        sup = np.zeros((9 * W * W, _round_up(len(idx))), np.float32)
+        sup[:, : len(idx)] = arr[:, idx]
+
+    return PallasTables(
+        root=jnp.asarray(root), levels=tuple(levels),
+        leaf=jnp.asarray(sup), depth=depth,
+    )
+
+
+def build_tables(triangles, bvh) -> PallasTables:
+    """Uncompacted fallback build from (possibly traced) device arrays —
+    used when a caller has no precomputed Scene.ptables. Compact ids are
+    the identity (canonical level-relative ids)."""
     depth = bvh.depth
     nodes = bvh.nodes
 
-    root = _pad_cols(jnp.transpose(nodes[0:1, : 6 * W]), 1)
+    def child_const(g, lvl):
+        # child compact id = canonical child rel id under identity mapping
+        if lvl + 1 >= depth:
+            return np.zeros((W, _round_up(g)), np.float32)
+        c = np.arange(g)[None, :] * W + np.arange(W)[:, None]
+        return np.pad(
+            c.astype(np.float32), ((0, 0), (0, _round_up(g) - g))
+        )
+
+    root = jnp.zeros((NROWS, 128), jnp.float32)
+    root = root.at[: 6 * W, 0].set(nodes[0, : 6 * W])
+    if depth > 1:
+        root = root.at[48:56, 0].set(jnp.arange(W, dtype=jnp.float32))
+
     levels = []
     for lvl in range(1, depth):
-        s = (W**lvl - 1) // (W - 1)
-        g = W**lvl
-        levels.append(_pad_cols(jnp.transpose(nodes[s : s + g, : 6 * W]), g))
+        s, g = _level_offset(lvl), W**lvl
+        t = jnp.zeros((NROWS, _round_up(g)), jnp.float32)
+        t = t.at[: 6 * W, :g].set(jnp.transpose(nodes[s : s + g, : 6 * W]))
+        t = t.at[48:56, :].set(jnp.asarray(child_const(g, lvl)))
+        levels.append(t)
 
-    n_blocks = triangles.leaf_rows.shape[0]
-    g_leaf = max(n_blocks // W, 1)
-    lr = triangles.leaf_rows.reshape(g_leaf, W, 16, W)[:, :, :9, :]
-    leaf = _pad_cols(
-        jnp.transpose(lr, (2, 1, 3, 0)).reshape(9 * W * W, g_leaf), g_leaf
-    )
-    return root, levels, leaf
+    n_groups = max(triangles.leaf_rows.shape[0] // W, 1)
+    lr = triangles.leaf_rows.reshape(n_groups, W, 16, W)[:, :, :9, :]
+    arr = jnp.transpose(lr, (2, 1, 3, 0)).reshape(9 * W * W, n_groups)
+    sup = jnp.zeros((9 * W * W, _round_up(n_groups)), jnp.float32)
+    sup = sup.at[:, :n_groups].set(arr)
+
+    return PallasTables(root=root, levels=tuple(levels), leaf=sup,
+                        depth=depth)
 
 
 def scene_fits(triangles, bvh, budget_bytes: int = 10 * 2**20) -> bool:
     """Whether this scene can take the Pallas path: tree depth <= 4 (the
-    13-bit id packing bounds leaf-block rel ids to 8192) and the tables +
-    working set fit the VMEM budget. Scenes beyond ~32k triangles fall back
-    to the XLA top-k path (roadmap: stream leaf super-rows from HBM)."""
+    13-bit id packing bounds leaf-block rel ids to 8192) and the
+    (worst-case uncompacted) tables + working set fit the VMEM budget.
+    Scenes beyond ~32k triangles fall back to the XLA top-k path
+    (roadmap: stream leaf super-rows from HBM)."""
     if bvh.depth > 4:
         return False
-    n_blocks = triangles.leaf_rows.shape[0]
-    leaf_bytes = max(n_blocks // W, 128) * 9 * W * W * 4
-    node_bytes = bvh.nodes.shape[0] * 6 * W * 4
-    working = R_TILE * (2 * max(n_blocks // W, 128) + 4096) * 4
+    n_groups = max(triangles.leaf_rows.shape[0] // W, 1)
+    leaf_bytes = _round_up(n_groups) * 9 * W * W * 4
+    node_bytes = bvh.nodes.shape[0] * NROWS * 4
+    working = R_TILE * (2 * _round_up(n_groups) + 4096) * 4
     return leaf_bytes + node_bytes + working < budget_bytes
 
 
 def intersect_bvh_pallas(
     origin: Vec3, direction: Vec3, triangles, bvh, active=None, kp: int = 2,
-    ksel: int = 8, t_max=None, interpret: bool | None = None,
+    ksel: int = 8, t_max=None, tables: PallasTables | None = None,
+    interpret: bool | None = None,
 ):
     """Single-pass fused traversal (Pallas). Returns dict(t, tri, u, v,
     dropped_min) with the same semantics/certificate as
     intersect_bvh_topk(with_bound=True).
 
+    tables: precomputed compacted PallasTables (Scene.ptables); falls back
+    to an uncompacted traced build when absent.
     t_max: optional (R,) per-ray pruning bound: subtrees entered at or
     beyond it are skipped AND excluded from the certificate (only hits
-    strictly closer than t_max can be found/certified). Used by the refine
-    pass of intersect_bvh_pallas2 with pass 1's best_t."""
+    strictly closer than t_max can be found/certified)."""
     r = origin.shape[0]
     depth = bvh.depth
     kp = min(kp, max(W, ksel))
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
 
-    root, levels, leaf = build_tables(triangles, bvh)
+    if tables is None or tables.depth != depth:
+        tables = build_tables(triangles, bvh)
 
     r_pad = ((r + R_TILE - 1) // R_TILE) * R_TILE
     if active is None:
@@ -371,7 +523,7 @@ def intersect_bvh_pallas(
     )
     rays = jnp.pad(rays, ((0, 0), (0, r_pad - r)))
 
-    tables = [root, *levels, leaf]
+    tbls = [tables.root, *tables.levels, tables.leaf]
     full = lambda t: pl.BlockSpec(  # noqa: E731
         t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
@@ -381,13 +533,13 @@ def intersect_bvh_pallas(
         in_specs=[
             pl.BlockSpec((8, R_TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            *[full(t) for t in tables],
+            *[full(t) for t in tbls],
         ],
         out_specs=pl.BlockSpec((8, R_TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
         interpret=interpret,
-    )(rays, *tables)
+    )(rays, *tbls)
 
     t = out[0, :r]
     hit = jnp.isfinite(t)
@@ -398,4 +550,3 @@ def intersect_bvh_pallas(
         "tri": jnp.where(hit, out[3, :r].astype(jnp.int32), -1),
         "dropped_min": out[4, :r],
     }
-

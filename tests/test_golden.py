@@ -1,6 +1,15 @@
-"""Golden-image regression tests (SURVEY §4: golden renders at fixed seeds
-with PSNR thresholds gate every change; the Pallas traversal kernel must
-reproduce these within tolerance)."""
+"""Golden-image regression tests — all five BASELINE.json configs.
+
+SURVEY §4 / BASELINE.md: golden renders at fixed seeds with PSNR thresholds
+gate every change (the reference's checked-in output.png/tower.png
+discipline). The five configs cover the full feature surface: quad (hit/UV
+sanity), fov_test (camera/FOV), spheres (metallic-roughness sweep), helmet
+(textured glTF PBR + denoiser), tower (env-lit path trace + denoiser).
+
+Goldens are rendered on the CPU backend at 256px with low spp to bound
+suite time; the TPU-vs-CPU parity gate lives in tools/tpu_parity.py and its
+result table in docs/PERF.md.
+"""
 
 import os
 
@@ -21,19 +30,28 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
-def _render_case(model: str, size: int, spp: int, bounces: int):
+def _render_case(model: str, size: int, spp: int, bounces: int,
+                 denoise: bool = False):
     scene = load_scene(
         f"{MODELS}/{model}", background_path=None, warn=lambda *a: None
     )
     img, _ = render(
         scene, size, size, spp=spp, max_bounces=bounces, seed=42
     )
+    if denoise:
+        from raytracing_c_tpu.ops.denoise import denoise_u8
+
+        img = np.asarray(denoise_u8(img))
     return img
 
 
+# name -> (model, size, spp, bounces, denoise) — BASELINE.md configs 1-5
 CASES = {
-    "quad": ("quad.obj", 48, 2, 2),
-    "fov_test": ("fov_test.obj", 64, 2, 3),
+    "quad": ("quad.obj", 256, 2, 2, False),
+    "fov_test": ("fov_test.obj", 256, 2, 3, False),
+    "spheres": ("spheres.glb", 256, 2, 3, False),
+    "helmet": ("helmet.glb", 256, 2, 2, True),
+    "tower": ("tower.obj", 256, 2, 3, True),
 }
 
 

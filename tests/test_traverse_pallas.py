@@ -177,3 +177,22 @@ def test_pallas_scene_fits_gate(rng):
     mesh = random_mesh(900, rng)
     scene = simple_scene(mesh)
     assert tp.scene_fits(scene.triangles, scene.bvh)
+
+
+def test_pallas_compacted_tables_bit_identical(rng):
+    """Compacted PallasTables (built host-side at scene build) must give
+    bit-identical results to the uncompacted traced fallback — compaction
+    only relabels fetch columns."""
+    from raytracing_c_tpu.models.scene import build_scene  # noqa: F401
+
+    mesh = random_mesh(2000, rng)
+    scene = simple_scene(mesh)
+    assert scene.ptables is not None
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+    a = tp.intersect_bvh_pallas(o, d, scene.triangles, scene.bvh)
+    b = tp.intersect_bvh_pallas(
+        o, d, scene.triangles, scene.bvh, tables=scene.ptables
+    )
+    for k in ("t", "tri", "u", "v", "dropped_min"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
