@@ -470,19 +470,20 @@ def build_tables(triangles, bvh) -> PallasTables:
                         depth=depth)
 
 
-def scene_fits(triangles, bvh, budget_bytes: int = 10 * 2**20) -> bool:
+def scene_fits(triangles, bvh, budget_bytes: int = 8 * 2**20) -> bool:
     """Whether this scene can take the Pallas path: tree depth <= 4 (the
     13-bit id packing bounds leaf-block rel ids to 8192) and the
-    (worst-case uncompacted) tables + working set fit the VMEM budget.
-    Scenes beyond ~32k triangles fall back to the XLA top-k path
-    (roadmap: stream leaf super-rows from HBM)."""
+    (worst-case uncompacted) tables fit a VMEM budget that leaves ~8 MB
+    for the per-tile working set — which is scene-size independent in the
+    compacted kernel (candidate buffers scale with ksel/kp, fetches are
+    per-column). Deeper scenes (>262k triangles) fall back to the XLA
+    top-k path (roadmap: stream leaf super-rows from HBM)."""
     if bvh.depth > 4:
         return False
     n_groups = max(triangles.leaf_rows.shape[0] // W, 1)
     leaf_bytes = _round_up(n_groups) * 9 * W * W * 4
     node_bytes = bvh.nodes.shape[0] * NROWS * 4
-    working = R_TILE * (2 * _round_up(n_groups) + 4096) * 4
-    return leaf_bytes + node_bytes + working < budget_bytes
+    return leaf_bytes + node_bytes < budget_bytes
 
 
 def intersect_bvh_pallas(
