@@ -30,7 +30,7 @@ HELMET = "/root/reference/models/helmet.glb"
 WIDTH, HEIGHT = 1920, 1080
 SPP = 16
 BOUNCES = 8
-BATCH_PIXELS = 16384  # x16 spp = 262144 rays per device program
+BATCH_PIXELS = 65536  # x16 spp = 1M rays per device program (bucket-compacted)
 BASELINE_MRAYS = 500.0
 
 

@@ -8,7 +8,8 @@ defaults 1024x1024, 16 spp, 8 bounces, output.png (driver.c:733-742).
 Extra (new-framework) flags are double-dashed: --seed, --bg, --no-bg,
 --batch-pixels, --brute-force, --debug-normals, --tonemap, --save-scene,
 --load-scene, --profile, --nearest (the reference's compile-time texture
-filter switch, driver.c:13-14, as a runtime flag).
+filter switch, driver.c:13-14, as a runtime flag), --rr (Russian-roulette
+path termination from bounce 3 — beyond-parity, unbiased, default off).
 
 -T is accepted for CLI parity; device execution replaces host threads (the
 batch is one device program; use --batch-pixels to change batching).
@@ -44,6 +45,7 @@ def parse_args(argv: list[str]):
         "batch_pixels": None,
         "brute_force": False,
         "debug_normals": False,
+        "rr": False,
         "tonemap": None,
         "save_scene": None,
         "load_scene": None,
@@ -90,6 +92,9 @@ def parse_args(argv: list[str]):
             i += 1
         elif a == "--debug-normals":
             cfg["debug_normals"] = True
+            i += 1
+        elif a == "--rr":
+            cfg["rr"] = True
             i += 1
         elif a.startswith("-"):
             return None
@@ -174,6 +179,7 @@ def main(argv: list[str] | None = None) -> int:
         method=("brute" if cfg["brute_force"] else "auto"),
         texture_mode=cfg["texture_mode"],
         progress=bar,
+        rr=cfg["rr"],
     )
     bar.finish()
 

@@ -506,5 +506,7 @@ def build_scene(
         background=background,
         camera=camera,
         n_triangles=int(mesh.positions.shape[0]),
-        ptables=build_tables_host(bvh.nodes, triangles.leaf_rows, bvh.depth),
+        ptables=build_tables_host(
+            bvh.nodes, triangles.leaf_rows, bvh.depth, triangles.attr_rows
+        ),
     )

@@ -147,5 +147,7 @@ def load_scene_cache(path: str) -> Scene:
         background=background,
         camera=camera,
         n_triangles=n_triangles,
-        ptables=build_tables_host(bvh.nodes, tris.leaf_rows, depth),
+        ptables=build_tables_host(
+            bvh.nodes, tris.leaf_rows, depth, tris.attr_rows
+        ),
     )

@@ -339,12 +339,21 @@ def _merge_hits(a, b):
 
 
 def intersect_bruteforce_chunked(
-    origin: Vec3, direction: Vec3, triangles, active=None, chunk: int = 4096
+    origin: Vec3, direction: Vec3, triangles, active=None,
+    chunk: int | None = None,
 ):
     """Memory-bounded exhaustive oracle: fori_loop over triangle chunks so
-    the (N, R) intermediate never materializes. Last-resort exact fallback."""
+    the (N, R) intermediate never materializes. Last-resort exact fallback.
+
+    chunk=None sizes chunks adaptively: small ray buffers (the tier-2
+    repair path, r~512) take the whole scene in one chunk — the per-chunk
+    argmin/merge machinery measured 2.6 ms per 512-ray call at chunk=4096
+    on helmet, ~4x the MT math itself — while large buffers stay bounded
+    at ~32 MB of (chunk, R) intermediates."""
     r = origin.shape[0]
     n = triangles.capacity
+    if chunk is None:
+        chunk = int(min(n, max(4096, 8 * 2**20 // max(r, 1))))
     n_chunks = (n + chunk - 1) // chunk
     lane = jnp.arange(chunk, dtype=jnp.int32)
 

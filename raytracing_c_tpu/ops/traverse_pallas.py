@@ -102,11 +102,16 @@ class PallasTables(struct.PyTreeNode):
     """Precomputed, compacted traversal tables (derived from the scene;
     rebuilt on deserialization, never stored). `levels[l-1]` is the level-l
     node table (NROWS, Gc_l); `leaf` packs each nonempty level-(depth-1)
-    node's 64 triangles component-major into one (576, Gc) column."""
+    node's 64 triangles component-major into one (576, Gc) column; `attr`
+    packs the same 64 triangles' 25 shading attributes (scene.py ATTR_*)
+    as rows c*64+pos; `gmap` row 0 maps canonical leaf-group ids to
+    compact columns."""
 
     root: Any  # (NROWS, 128) f32
     levels: Any  # tuple of (NROWS, Gc_l) f32
     leaf: Any  # (576, Gc_leaf) f32
+    attr: Any  # (1600, Gc_leaf) f32, or None (traced fallback build)
+    gmap: Any  # (8, G_canonical) f32, or None
     depth: int = struct.field(pytree_node=False)
 
 
@@ -373,7 +378,7 @@ def _level_offset(lvl):
     return (W**lvl - 1) // (W - 1)
 
 
-def build_tables_host(nodes, leaf_rows, depth) -> PallasTables:
+def build_tables_host(nodes, leaf_rows, depth, attr_rows=None) -> PallasTables:
     """Compacted table build (host numpy, once per scene — build_scene and
     the scene-cache loader both call this).
 
@@ -420,14 +425,31 @@ def build_tables_host(nodes, leaf_rows, depth) -> PallasTables:
     if depth == 1:
         sup = np.zeros((9 * W * W, 128), np.float32)
         sup[:, :1] = arr
+        lidx = np.arange(1)
     else:
-        idx = keep[depth - 1]
-        sup = np.zeros((9 * W * W, _round_up(len(idx))), np.float32)
-        sup[:, : len(idx)] = arr[:, idx]
+        lidx = keep[depth - 1]
+        sup = np.zeros((9 * W * W, _round_up(len(lidx))), np.float32)
+        sup[:, : len(lidx)] = arr[:, lidx]
+
+    attr = gmap = None
+    if attr_rows is not None:
+        # attr super table: row c*64 + pos = ATTR component c of the pos-th
+        # triangle of the (compact) leaf group; + canonical->compact map
+        ar = np.asarray(attr_rows, np.float32)
+        at = ar[: n_groups * 64, :25].reshape(n_groups, 64, 25)
+        aarr = at.transpose(2, 1, 0).reshape(25 * 64, n_groups)
+        attr_t = np.zeros((25 * 64, sup.shape[1]), np.float32)
+        attr_t[:, : len(lidx)] = aarr[:, lidx]
+        g_can = W ** (depth - 1)
+        gm = np.zeros((8, _round_up(g_can)), np.float32)
+        if depth > 1:
+            gm[0, :g_can] = cmap[depth - 1]
+        attr = jnp.asarray(attr_t)
+        gmap = jnp.asarray(gm)
 
     return PallasTables(
         root=jnp.asarray(root), levels=tuple(levels),
-        leaf=jnp.asarray(sup), depth=depth,
+        leaf=jnp.asarray(sup), attr=attr, gmap=gmap, depth=depth,
     )
 
 
@@ -467,7 +489,7 @@ def build_tables(triangles, bvh) -> PallasTables:
     sup = sup.at[:, :n_groups].set(arr)
 
     return PallasTables(root=root, levels=tuple(levels), leaf=sup,
-                        depth=depth)
+                        attr=None, gmap=None, depth=depth)
 
 
 def scene_fits(triangles, bvh, budget_bytes: int = 8 * 2**20) -> bool:
@@ -550,4 +572,113 @@ def intersect_bvh_pallas(
         "v": out[2, :r],
         "tri": jnp.where(hit, out[3, :r].astype(jnp.int32), -1),
         "dropped_min": out[4, :r],
+    }
+
+
+def _attr_kernel(depth, hits_ref, gmap_ref, attr_ref, out_ref):
+    """Fetch + interpolate the winning triangle's 25 shading attributes.
+
+    The XLA equivalent (integrator._gather_hit_geometry) is ONE 512-byte
+    attribute-row gather per ray — measured 4.5 ms per 262k rays,
+    latency-bound like every per-row gather (docs/PERF.md). Here the fetch
+    is a one-hot matmul against the VMEM-resident attr super table
+    (canonical group -> compact column via `gmap`, then a 64-wide position
+    select), ~0.4 M MAC/ray on helmet — MXU work, no HBM intermediates.
+
+    Interpolation matches _gather_hit_geometry's formulas term for term
+    (raytracer.c:159-183 parity): normal = n0*w + n1*u + n2*v, uv
+    likewise, with w = 1 - u - v.
+    """
+    r = hits_ref.shape[1]
+    tri = jnp.maximum(hits_ref[0:1, :], 0.0).astype(jnp.int32)
+    u = hits_ref[1:2, :]
+    v = hits_ref[2:3, :]
+    w = 1.0 - u - v
+
+    if depth > 1:
+        g_can = tri >> 6
+        oh_can = (_iota((gmap_ref.shape[1], r), 0) == g_can).astype(
+            jnp.float32
+        )
+        cid = jax.lax.dot_general(
+            gmap_ref[0:1, :], oh_can, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+    else:
+        cid = jnp.zeros((1, r), jnp.int32)
+    cols = _fetch(attr_ref, cid)  # (1600, r)
+
+    pos = tri & 63
+    oh_p = _iota((64, r), 0) == pos
+
+    def sel(c):
+        rows = cols[c * 64 : (c + 1) * 64]  # static slice (Mosaic-safe)
+        return jnp.sum(jnp.where(oh_p, rows, 0.0), axis=0, keepdims=True)
+
+    # ATTR_* layout (models/scene.py:51-59)
+    n0 = [sel(c) for c in range(0, 3)]
+    n1 = [sel(c) for c in range(3, 6)]
+    n2 = [sel(c) for c in range(6, 9)]
+    ng = [sel(c) for c in range(9, 12)]
+    tan = [sel(c) for c in range(12, 15)]
+    btn = [sel(c) for c in range(15, 18)]
+    uv0u, uv0v, uv1u, uv1v, uv2u, uv2v = (sel(c) for c in range(18, 24))
+    mat = sel(24)
+
+    normal = [n0[c] * w + n1[c] * u + n2[c] * v for c in range(3)]
+    uv_u = uv0u * w + uv1u * u + uv2u * v
+    uv_v = uv0v * w + uv1v * u + uv2v * v
+
+    out_ref[:] = jnp.concatenate(
+        [*normal, *ng, *tan, *btn, uv_u, uv_v, mat,
+         jnp.zeros((1, r), jnp.float32)],
+        axis=0,
+    )
+
+
+def fetch_attrs(tables: PallasTables, tri, u, v, interpret: bool | None = None):
+    """Winning-triangle attribute fetch + interpolation (Pallas).
+
+    tri: (R,) i32 (-1 for miss: clamped, outputs masked by the caller);
+    u/v: (R,) barycentrics. Returns a dict of interpolated planes:
+    normal/ng/tangent/bitangent (Vec3), uv_u/uv_v (R,), mat_id (R,) i32.
+    Requires tables built host-side (tables.attr is not None).
+    """
+    r = tri.shape[0]
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+
+    r_pad = ((r + R_TILE - 1) // R_TILE) * R_TILE
+    hits = jnp.stack([tri.astype(jnp.float32), u, v], axis=0)
+    hits = jnp.pad(
+        jnp.concatenate([hits, jnp.zeros((5, r), jnp.float32)], axis=0),
+        ((0, 0), (0, r_pad - r)),
+    )
+
+    full = lambda t: pl.BlockSpec(  # noqa: E731
+        t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_attr_kernel, tables.depth),
+        grid=(r_pad // R_TILE,),
+        in_specs=[
+            pl.BlockSpec((8, R_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            full(tables.gmap), full(tables.attr),
+        ],
+        out_specs=pl.BlockSpec((16, R_TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, r_pad), jnp.float32),
+        interpret=interpret,
+    )(hits, tables.gmap, tables.attr)
+
+    o = out[:, :r]
+    return {
+        "normal": Vec3(o[0], o[1], o[2]),
+        "ng": Vec3(o[3], o[4], o[5]),
+        "tangent": Vec3(o[6], o[7], o[8]),
+        "bitangent": Vec3(o[9], o[10], o[11]),
+        "uv_u": o[12],
+        "uv_v": o[13],
+        "mat_id": o[14].astype(jnp.int32),
     }

@@ -30,38 +30,53 @@ from raytracing_c_tpu.ops import disney, traverse
 from raytracing_c_tpu.utils.vec3 import Vec3
 
 
-def _gather_hit_geometry(scene, origin: Vec3, direction: Vec3, hit):
+def _gather_hit_geometry(scene, origin: Vec3, direction: Vec3, hit,
+                         method: str = "topk"):
     """Deferred attribute interpolation: gather per-hit vertex data by the
     winning triangle index (the SIMD kernel interpolated inline,
     raytracer.c:159-183; we defer it to one dense stage per bounce).
 
-    ONE 512-byte attribute-row gather per ray (models/scene.py ATTR_*
-    layout) instead of ~25 per-lane gathers — the TPU row-gather fast path.
+    XLA path: ONE 512-byte attribute-row gather per ray (models/scene.py
+    ATTR_* layout) instead of ~25 per-lane gathers. Pallas path (when the
+    traversal ran the Pallas kernel and host-built tables exist): one-hot
+    MXU fetch + in-kernel interpolation (traverse_pallas.fetch_attrs) —
+    row gathers are latency-bound even at 512 bytes (measured 4.5 ms per
+    262k rays; the kernel does the same work in ~1 ms).
     """
-    from raytracing_c_tpu.models.scene import (
-        ATTR_BTN, ATTR_MAT, ATTR_N0, ATTR_N1, ATTR_N2, ATTR_NG, ATTR_TAN,
-        ATTR_UV,
-    )
+    ptables = getattr(scene, "ptables", None)
+    if method.startswith("pallas") and ptables is not None \
+            and ptables.attr is not None:
+        from raytracing_c_tpu.ops import traverse_pallas as tp
 
-    tris = scene.triangles
-    tri = jnp.maximum(hit["tri"], 0)
-    u = hit["u"]
-    v = hit["v"]
-    w = 1.0 - u - v
+        g = tp.fetch_attrs(ptables, hit["tri"], hit["u"], hit["v"])
+        normal, ng = g["normal"], g["ng"]
+        tangent, bitangent = g["tangent"], g["bitangent"]
+        uv_u, uv_v, mat_id = g["uv_u"], g["uv_v"], g["mat_id"]
+    else:
+        from raytracing_c_tpu.models.scene import (
+            ATTR_BTN, ATTR_MAT, ATTR_N0, ATTR_N1, ATTR_N2, ATTR_NG,
+            ATTR_TAN, ATTR_UV,
+        )
 
-    a = jnp.transpose(tris.attr_rows[tri])  # (128, R), batch-minor
+        tris = scene.triangles
+        tri = jnp.maximum(hit["tri"], 0)
+        u = hit["u"]
+        v = hit["v"]
+        w = 1.0 - u - v
 
-    def vec(c):
-        return Vec3(a[c], a[c + 1], a[c + 2])
+        a = jnp.transpose(tris.attr_rows[tri])  # (128, R), batch-minor
 
-    n0, n1, n2 = vec(ATTR_N0), vec(ATTR_N1), vec(ATTR_N2)
-    normal = n0 * w + n1 * u + n2 * v
-    uv_u = a[ATTR_UV] * w + a[ATTR_UV + 2] * u + a[ATTR_UV + 4] * v
-    uv_v = a[ATTR_UV + 1] * w + a[ATTR_UV + 3] * u + a[ATTR_UV + 5] * v
-    ng = vec(ATTR_NG)
-    tangent = vec(ATTR_TAN)
-    bitangent = vec(ATTR_BTN)
-    mat_id = a[ATTR_MAT].astype(jnp.int32)
+        def vec(c):
+            return Vec3(a[c], a[c + 1], a[c + 2])
+
+        n0, n1, n2 = vec(ATTR_N0), vec(ATTR_N1), vec(ATTR_N2)
+        normal = n0 * w + n1 * u + n2 * v
+        uv_u = a[ATTR_UV] * w + a[ATTR_UV + 2] * u + a[ATTR_UV + 4] * v
+        uv_v = a[ATTR_UV + 1] * w + a[ATTR_UV + 3] * u + a[ATTR_UV + 5] * v
+        ng = vec(ATTR_NG)
+        tangent = vec(ATTR_TAN)
+        bitangent = vec(ATTR_BTN)
+        mat_id = a[ATTR_MAT].astype(jnp.int32)
 
     point = origin + direction * hit["t"]
 
@@ -92,14 +107,27 @@ def _gather_hit_geometry(scene, origin: Vec3, direction: Vec3, hit):
     }
 
 
+#: first bounce eligible for Russian roulette (when enabled): short paths
+#: carry most of the image energy and are never gambled away
+RR_START = 3
+
+
 def bounce_step(scene, st, rand4, method: str = "topk",
-                texture_mode: str = "bilinear"):
+                texture_mode: str = "bilinear", rr: bool = False,
+                bounce_i=None):
     """ONE wavefront bounce over a state dict of per-ray planes.
 
     st: dict(origin, direction, throughput, radiance: Vec3; active: bool;
     rays: f32 scalar). rand4: (4, R) uniforms for the material stage.
     Shared by the fused trace() loop below and the compacting pool renderer
     (render/pool.py) — both paths get identical per-bounce semantics.
+
+    rr: Russian-roulette path termination (BEYOND-PARITY, default off —
+    the reference integrator has none, raytracer.c:505-558): from bounce
+    RR_START, a continuing path survives with p = clip(max(throughput),
+    0.05, 1) and its throughput is divided by p — the standard unbiased
+    estimator. Uses rand4[3] (the spare channel). bounce_i: traced bounce
+    index (required when rr=True).
     """
     active = st["active"]
     o, d = st["origin"], st["direction"]
@@ -109,7 +137,7 @@ def bounce_step(scene, st, rand4, method: str = "topk",
     rays = st["rays"] + jnp.sum(active).astype(jnp.float32)
 
     is_hit = active & jnp.isfinite(hit["t"])
-    geom = _gather_hit_geometry(scene, o, d, hit)
+    geom = _gather_hit_geometry(scene, o, d, hit, method=method)
 
     # backface skip: geometric OR shading normal along the ray
     # (raytracer.c:516-521)
@@ -141,6 +169,18 @@ def bounce_step(scene, st, rand4, method: str = "topk",
         cont, st["throughput"] * out["tint"], st["throughput"]
     )
 
+    if rr:
+        assert bounce_i is not None
+        lum = jnp.maximum(
+            jnp.maximum(throughput.x, throughput.y), throughput.z
+        )
+        p = jnp.clip(lum, 0.05, 1.0)
+        gamble = cont & (bounce_i >= RR_START)
+        kill = gamble & (rand4[3] >= p)
+        cont = cont & ~kill
+        scale = jnp.where(gamble & ~kill, 1.0 / p, 1.0)
+        throughput = throughput * scale
+
     # next ray origin: epsilon rules (raytracer.c:520, 551-552)
     bias = jnp.where(
         geom["ng"].dot(out["direction"]) < 0.0, -EPSILON, EPSILON
@@ -163,7 +203,8 @@ def bounce_step(scene, st, rand4, method: str = "topk",
 
 
 def trace(scene, origin: Vec3, direction: Vec3, uniforms, max_bounces: int,
-          method: str = "topk", texture_mode: str = "bilinear"):
+          method: str = "topk", texture_mode: str = "bilinear",
+          rr: bool = False):
     """Trace a batch of rays to completion.
 
     origin/direction: Vec3 of (R,); uniforms: (max_bounces, 4, R) pre-drawn
@@ -187,7 +228,8 @@ def trace(scene, origin: Vec3, direction: Vec3, uniforms, max_bounces: int,
     }
 
     def bounce(i, st):
-        return bounce_step(scene, st, uniforms[i], method, texture_mode)
+        return bounce_step(scene, st, uniforms[i], method, texture_mode,
+                           rr=rr, bounce_i=i)
 
     # while-loop over bounces: a batch whose rays have ALL terminated (e.g.
     # a sky-only tile, or every path absorbed) stops early instead of
@@ -203,3 +245,140 @@ def trace(scene, origin: Vec3, direction: Vec3, uniforms, max_bounces: int,
 
     _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     return st["radiance"], st["rays"]
+
+
+# state-plane order for the bucket sort (all payloads are (R,) f32/i32)
+_SORT_PLANES = (
+    ("origin", "x"), ("origin", "y"), ("origin", "z"),
+    ("direction", "x"), ("direction", "y"), ("direction", "z"),
+    ("throughput", "x"), ("throughput", "y"), ("throughput", "z"),
+    ("radiance", "x"), ("radiance", "y"), ("radiance", "z"),
+)
+
+#: smallest bucket: a few Pallas tiles so the kernel grid stays busy
+_MIN_BUCKET = 4096
+
+
+def trace_bucketed(scene, origin: Vec3, direction: Vec3, uniforms,
+                   max_bounces: int, method: str = "topk",
+                   texture_mode: str = "bilinear", rr: bool = False):
+    """trace() with on-device occupancy compaction — the wavefront
+    work-pool of the reference (render_thread_proc's chunk stealing,
+    raytracer.c:596-720) done the TPU way, with zero host round-trips.
+
+    After a few bounces most lanes are dead but a dense bounce still pays
+    for all of them (measured: a geometry batch's later bounces run at
+    <20%% occupancy). Each bounce here first sorts live lanes to the front
+    (one variadic lax.sort, ~1 ms at 256k — per-lane gathers would cost
+    ~7x that), then lax.switch picks the narrowest power-of-two-divided
+    front slice that holds every live lane and runs bounce_step on THAT
+    static shape only; the dead tail is carried through untouched. Lane
+    order stays permuted across bounces; one final sort on the carried
+    sample slot restores it.
+
+    Per-sample RNG: a lane consumes uniforms[bounce, :, lane] at its
+    CURRENT position, so the stream a sample sees depends on the
+    permutation. Each (bounce, lane) draw is still used at most once and
+    is independent of the path state that routed samples to lanes, so the
+    estimator is unbiased; images differ from trace() only in noise
+    pattern (seed-deterministic either way).
+    """
+    r = origin.shape[0]
+
+    # /4 width steps: a bounce pays at most 4x its live-lane need, and the
+    # switch stays at <=4 branches — each branch compiles its own copy of
+    # the full bounce program (4 Pallas kernels + sorts), and 7 /2-step
+    # branches measured ~45 min of (remote) compile on the tunnel
+    widths = [r]
+    while widths[-1] // 4 >= max(_MIN_BUCKET, r // 64):
+        widths.append(widths[-1] // 4)
+
+    state = {
+        "origin": origin,
+        "direction": direction,
+        "throughput": Vec3.full((r,), 1.0),
+        "radiance": Vec3.zeros((r,)),
+        "active": jnp.ones((r,), bool),
+        "slot": jnp.arange(r, dtype=jnp.int32),
+        "rays": jnp.float32(0.0),
+    }
+
+    def compact(st):
+        key = (~st["active"]).astype(jnp.int32)  # live lanes first
+        planes = [getattr(st[name], c) for name, c in _SORT_PLANES]
+        out = jax.lax.sort(
+            (key, st["slot"], *planes), num_keys=1
+        )
+        key_s, slot_s, *planes_s = out
+        new = dict(st)
+        new["active"] = key_s == 0
+        new["slot"] = slot_s
+        it = iter(planes_s)
+        for name in ("origin", "direction", "throughput", "radiance"):
+            new[name] = Vec3(next(it), next(it), next(it))
+        return new
+
+    def make_branch(w, i_ref):
+        def br(args):
+            i, st = args
+            head = {
+                "origin": Vec3(*(getattr(st["origin"], c)[:w] for c in "xyz")),
+                "direction": Vec3(
+                    *(getattr(st["direction"], c)[:w] for c in "xyz")
+                ),
+                "throughput": Vec3(
+                    *(getattr(st["throughput"], c)[:w] for c in "xyz")
+                ),
+                "radiance": Vec3(
+                    *(getattr(st["radiance"], c)[:w] for c in "xyz")
+                ),
+                "active": st["active"][:w],
+                "rays": st["rays"],
+            }
+            out = bounce_step(
+                scene, head, uniforms[i][:, :w], method, texture_mode,
+                rr=rr, bounce_i=i,
+            )
+            new = dict(st)
+            for name in ("origin", "direction", "throughput", "radiance"):
+                new[name] = Vec3(
+                    *(
+                        jnp.concatenate(
+                            [getattr(out[name], c), getattr(st[name], c)[w:]]
+                        )
+                        for c in "xyz"
+                    )
+                )
+            new["active"] = jnp.concatenate(
+                [out["active"], st["active"][w:]]
+            )
+            new["rays"] = out["rays"]
+            return new
+
+        return br
+
+    branches = [make_branch(w, None) for w in widths]
+
+    def cond(iv):
+        i, st = iv
+        return jnp.logical_and(i < max_bounces, jnp.any(st["active"]))
+
+    def body(iv):
+        i, st = iv
+        st = compact(st)
+        n = jnp.sum(st["active"].astype(jnp.int32))
+        # narrowest bucket that holds every live lane (monotone count)
+        k = jnp.int32(0)
+        for j, w in enumerate(widths[1:], start=1):
+            k = jnp.where(n <= w, jnp.int32(j), k)
+        st = jax.lax.switch(k, branches, (i, st))
+        return i + 1, st
+
+    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+
+    # undo the accumulated permutation
+    _, rx, ry, rz = jax.lax.sort(
+        (st["slot"], st["radiance"].x, st["radiance"].y, st["radiance"].z),
+        num_keys=1,
+    )
+    return Vec3(rx, ry, rz), st["rays"]

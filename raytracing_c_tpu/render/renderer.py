@@ -49,11 +49,13 @@ class RenderStats:
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_bounces", "method", "texture_mode",
+        "compact", "rr",
     ),
 )
 def render_batch(
     scene, px, py, key, *, width: int, height: int, spp: int,
     max_bounces: int, method: str = "topk", texture_mode: str = "bilinear",
+    compact: bool = False, rr: bool = False,
 ):
     """Render one flat batch of pixels.
 
@@ -77,9 +79,10 @@ def render_batch(
         scene.camera, width, height, rpx, rpy, jitter[0], jitter[1]
     )
 
-    radiance, rays = integrator.trace(
+    tracer = integrator.trace_bucketed if compact else integrator.trace
+    radiance, rays = tracer(
         scene, origin, direction, uniforms, max_bounces,
-        method=method, texture_mode=texture_mode,
+        method=method, texture_mode=texture_mode, rr=rr,
     )
     rgb = jnp.stack(
         [
@@ -106,6 +109,8 @@ def render(
     texture_mode: str = "bilinear",
     limit_batches: int | None = None,
     engine: str = "fused",
+    compact: bool | None = None,
+    rr: bool = False,
 ):
     """Render a full image.
 
@@ -119,7 +124,14 @@ def render(
     engine="pool" uses the compacting wavefront pool (render/pool.py):
     live rays shrink the working set between bounces. Single-device only
     (falls back to fused under a mesh).
+
+    compact: on-device bucket compaction of the bounce loop
+    (integrator.trace_bucketed). Default: on for single-device renders,
+    off under a mesh (a cross-shard lax.sort would force collectives;
+    rays stay embarrassingly parallel instead).
     """
+    if compact is None:
+        compact = mesh is None
     if method == "auto":
         if scene.triangles.capacity <= 64:
             # tiny scenes: the reference's own exhaustive oracle path
@@ -224,7 +236,8 @@ def render(
             rgb, rays = render_batch(
                 scene, px, py, jax.random.fold_in(key, b),
                 width=width, height=height, spp=spp, max_bounces=max_bounces,
-                method=method, texture_mode=texture_mode,
+                method=method, texture_mode=texture_mode, compact=compact,
+                rr=rr,
             )
             in_flight.append((b, rgb, rays))
             if len(in_flight) > pipeline_depth:

@@ -100,3 +100,76 @@ def test_rays_traced_counts_bounces():
     d = np.tile([[0.0, 0.0, -1.0]], (n, 1))
     _, rays = _trace(scene, o, d, bounces=8)
     assert rays > 1.5 * n
+
+
+def test_russian_roulette_unbiased_and_kills_paths():
+    """--rr (beyond-parity): from bounce RR_START a continuing path
+    survives with p = clip(max(throughput), .05, 1) and is reweighted by
+    1/p — kill rate and reweighting checked directly on one bounce_step;
+    unbiasedness checked on the estimator mean."""
+    scene = simple_scene(quad_mesh(), bg=(1.0, 1.0, 1.0))
+    n = 2048
+    o = np.tile([[0.0, 0.0, 3.0]], (n, 1))
+    d = np.tile([[0.0, 0.0, -1.0]], (n, 1))
+
+    def run(rr, seed):
+        uni = jax.random.uniform(jax.random.PRNGKey(seed), (12, 4, n))
+        rad, rays = integrator.trace(
+            scene, vec3_of(o), vec3_of(d), uni, 12, method="brute", rr=rr,
+        )
+        return np.asarray(rad.to_array()), float(rays)
+
+    plain = np.concatenate([run(False, s)[0] for s in range(4)])
+    rr = np.concatenate([run(True, 100 + s)[0] for s in range(4)])
+    # unbiased: means agree within MC noise (grey 0.8 albedo, white sky)
+    np.testing.assert_allclose(rr.mean(), plain.mean(), rtol=0.03)
+
+    # direct kill/reweight check: throughput 0.3 -> survive with p=0.3
+    tp = 0.3
+    st = {
+        "origin": vec3_of(o), "direction": vec3_of(d),
+        "throughput": integrator.Vec3.full((n,), tp),
+        "radiance": integrator.Vec3.zeros((n,)),
+        "active": jnp.ones((n,), bool),
+        "rays": jnp.float32(0.0),
+    }
+    rand4 = jax.random.uniform(jax.random.PRNGKey(1), (4, n))
+    out = integrator.bounce_step(
+        scene, st, rand4, method="brute", rr=True,
+        bounce_i=jnp.int32(integrator.RR_START),
+    )
+    base = integrator.bounce_step(scene, st, rand4, method="brute")
+    cont_base = np.asarray(base["active"])
+    cont_rr = np.asarray(out["active"])
+    assert cont_base.sum() > 100  # the quad keeps many paths alive
+    survive_rate = cont_rr.sum() / cont_base.sum()
+    p_nom = tp * 0.8  # tint multiplies in before the gamble (~0.8 albedo)
+    assert abs(survive_rate - p_nom) < 0.05, (survive_rate, p_nom)
+    # survivors reweighted by their OWN 1/p (p = clipped max component)
+    surv = cont_rr
+    base_tp = np.stack(
+        [np.asarray(getattr(base["throughput"], c)) for c in "xyz"]
+    )
+    p_lane = np.clip(base_tp.max(axis=0), 0.05, 1.0)
+    tpx = np.asarray(out["throughput"].x)[surv]
+    np.testing.assert_allclose(
+        tpx, (base_tp[0] / p_lane)[surv], rtol=1e-5
+    )
+
+
+def test_bucketed_trace_matches_dense_statistically():
+    """trace_bucketed permutes lanes (and thus the RNG stream a sample
+    consumes) but must agree with trace() in expectation."""
+    scene = simple_scene(quad_mesh(), bg=(1.0, 1.0, 1.0))
+    n = 4096
+    o = np.tile([[0.0, 0.0, 3.0]], (n, 1))
+    d = np.tile([[0.0, 0.0, -1.0]], (n, 1))
+    uni = jax.random.uniform(jax.random.PRNGKey(7), (6, 4, n))
+    rad_d, rays_d = integrator.trace(
+        scene, vec3_of(o), vec3_of(d), uni, 6, method="brute")
+    rad_b, rays_b = integrator.trace_bucketed(
+        scene, vec3_of(o), vec3_of(d), uni, 6, method="brute")
+    a = np.asarray(rad_d.to_array()).mean()
+    b = np.asarray(rad_b.to_array()).mean()
+    np.testing.assert_allclose(b, a, rtol=0.03)
+    assert float(rays_b) == float(rays_d)  # same live-set per bounce

@@ -46,6 +46,10 @@ def test_sharded_batch_matches_single(scene):
 def test_render_with_mesh(scene):
     m = mesh_mod.make_mesh()
     img_m, stats_m = render(scene, 24, 16, spp=2, max_bounces=3, seed=5, mesh=m)
-    img_s, stats_s = render(scene, 24, 16, spp=2, max_bounces=3, seed=5)
+    # mesh renders keep compact=False (a cross-shard sort would collect);
+    # compare against the same dense loop
+    img_s, stats_s = render(
+        scene, 24, 16, spp=2, max_bounces=3, seed=5, compact=False
+    )
     assert img_m.shape == (16, 24, 3)
     np.testing.assert_array_equal(img_m, img_s)

@@ -196,3 +196,36 @@ def test_pallas_compacted_tables_bit_identical(rng):
     )
     for k in ("t", "tri", "u", "v", "dropped_min"):
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_attr_kernel_matches_xla_gather(rng):
+    """fetch_attrs (one-hot MXU attr fetch + in-kernel interpolation) must
+    match the XLA attr-row-gather path of _gather_hit_geometry on every
+    winning triangle (same formulas, same f32 inputs -> tight tolerance)."""
+    from raytracing_c_tpu.render.integrator import _gather_hit_geometry
+
+    mesh = random_mesh(900, rng)
+    scene = simple_scene(mesh)
+    assert scene.ptables.attr is not None
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+    hit = traverse.intersect_bvh_pallas_verified(
+        o, d, scene.triangles, scene.bvh, tables=scene.ptables
+    )
+    hit["sph"] = jnp.full((512,), -1, jnp.int32)
+
+    want = _gather_hit_geometry(scene, o, d, hit, method="topk")
+    got = tp.fetch_attrs(scene.ptables, hit["tri"], hit["u"], hit["v"])
+
+    m = np.isfinite(np.asarray(hit["t"]))  # miss lanes carry garbage attrs
+    for k in ("uv_u", "uv_v"):
+        np.testing.assert_allclose(
+            np.asarray(got[k])[m], np.asarray(want[k])[m], rtol=1e-6,
+            atol=1e-6)
+    for k in ("normal", "ng", "tangent", "bitangent"):
+        for c in "xyz":
+            np.testing.assert_allclose(
+                np.asarray(getattr(got[k], c))[m],
+                np.asarray(getattr(want[k], c))[m], rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(got["mat_id"])[m], np.asarray(want["mat_id"])[m])
