@@ -9,7 +9,8 @@ Extra (new-framework) flags are double-dashed: --seed, --bg, --no-bg,
 --batch-pixels, --brute-force, --debug-normals, --tonemap, --save-scene,
 --load-scene, --profile, --nearest (the reference's compile-time texture
 filter switch, driver.c:13-14, as a runtime flag), --rr (Russian-roulette
-path termination from bounce 3 — beyond-parity, unbiased, default off).
+path termination from bounce 3), --nee (environment-light next-event
+estimation with MIS) — both beyond-parity, unbiased, default off.
 
 -T is accepted for CLI parity; device execution replaces host threads (the
 batch is one device program; use --batch-pixels to change batching).
@@ -46,6 +47,7 @@ def parse_args(argv: list[str]):
         "brute_force": False,
         "debug_normals": False,
         "rr": False,
+        "nee": False,
         "tonemap": None,
         "save_scene": None,
         "load_scene": None,
@@ -95,6 +97,9 @@ def parse_args(argv: list[str]):
             i += 1
         elif a == "--rr":
             cfg["rr"] = True
+            i += 1
+        elif a == "--nee":
+            cfg["nee"] = True
             i += 1
         elif a.startswith("-"):
             return None
@@ -180,6 +185,7 @@ def main(argv: list[str] | None = None) -> int:
         texture_mode=cfg["texture_mode"],
         progress=bar,
         rr=cfg["rr"],
+        nee=cfg["nee"],
     )
     bar.finish()
 

@@ -229,6 +229,68 @@ def sample_disney_brdf(
     return out_dir, rgb, pdf
 
 
+def eval_disney_brdf(
+    base_color: Vec3, roughness, metalness, sheen, sheen_tint,
+    in_dir: Vec3, out_dir: Vec3,
+):
+    """Deterministic BRDF evaluation for a GIVEN direction (BEYOND-PARITY:
+    the reference only samples, driver.c:287-348 — NEE/MIS needs eval).
+
+    Tangent space (normal = +z); in_dir points toward the viewer, out_dir
+    toward the light. Returns (f_nol: Vec3, pdf) where f_nol = full
+    two-lobe BRDF x NoL and pdf is the lobe-mixture sampling density of
+    out_dir with the Fresnel lobe weight taken at the true half vector —
+    deterministic, so MIS weights built from it sum to one across
+    strategies. Mirrors the sampler's formulas (isotropic pdf, same
+    clamps); both lobes contribute to f (physically both reflect)."""
+    nov = jnp.maximum(in_dir.z, 0.001)
+    nol = out_dir.z
+    ok = (nol > 0.0) & (in_dir.z > 0.0)
+    nol_c = jnp.maximum(nol, 0.001)
+
+    h = (in_dir + out_dir).normalized()
+    noh = jnp.minimum(h.z, 0.99)
+    loh = out_dir.dot(h)
+
+    f004 = Vec3.full(jnp.shape(roughness), 0.04)
+    f0 = f004.lerp(base_color, metalness)
+    fresnel = fresnel_schlick_rgb(f0, shadowed_f90(f0), in_dir.dot(h))
+
+    dw = 1.0 - metalness
+    sw = luminance(fresnel)
+    inv_w = 1.0 / jnp.maximum(dw + sw, 1e-20)
+    dw = dw * inv_w
+    sw = sw * inv_w
+
+    one = jnp.ones_like(nov)
+    white = Vec3(one, one, one)
+    diff = eval_diffuse(base_color, nol_c, nov, loh, roughness) * (
+        white - fresnel
+    ) + evaluate_sheen(sheen, base_color, sheen_tint, loh)
+    spec = eval_specular(roughness, fresnel, noh, nov, nol_c)
+
+    f_nol = (diff + spec) * jnp.where(ok, nol_c, 0.0)
+    pdf = dw * jnp.maximum(nol, 0.0) / PI + sw * pdf_ggx_vndf(
+        noh, nov, roughness
+    )
+    return f_nol, jnp.where(ok, pdf, 0.0)
+
+
+def sample_uniform_sphere(u1, u2) -> Vec3:
+    """Uniform direction on the sphere (pdf = 1/4pi) — the environment
+    light's NEE sampling distribution. Direction-only pdf keeps the
+    BRDF-side MIS weight computable at the miss point without carrying the
+    sampling frame."""
+    z = 1.0 - 2.0 * u1
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * PI * u2
+    return Vec3(r * jnp.cos(phi), r * jnp.sin(phi), z)
+
+
+#: pdf of sample_uniform_sphere
+UNIFORM_SPHERE_PDF = float(1.0 / (4.0 * jnp.pi))
+
+
 # ---------------------------------------------------------------------------
 # Ubershader (world space, full material stage)
 # ---------------------------------------------------------------------------
@@ -269,13 +331,23 @@ def basis(view: Vec3, normal: Vec3):
 
 def shade(scene, direction: Vec3, normal: Vec3, normal_geo: Vec3,
           tangent: Vec3, bitangent: Vec3, uv_u, uv_v, mat_id, rand4,
-          texture_mode: str = "bilinear"):
+          texture_mode: str = "bilinear", nee: bool = False, rand2=None):
     """The full material stage for a batch of shaded rays.
 
     direction: incoming ray direction (toward the surface); normal: unit
     interpolated shading normal; rand4: (4, R) uniforms (lobe, u1, u2,
     spare). Returns dict(direction, tint, emission, terminate, normal)
     mirroring Shader_Output (scene.h:24-28).
+
+    nee (BEYOND-PARITY, default off): also draw one environment-light
+    sample per vertex (uniform sphere, rand2: (2, R)) and return
+    `nee_dir` (world) + `nee_partial` (env radiance x BRDF x NoL x
+    MIS weight / pdf — everything except visibility, which the caller
+    resolves with a shadow ray) and `pdf_eval` (the deterministic
+    mixture pdf of the SAMPLED scatter direction, for the BRDF-side MIS
+    weight at the next miss). Power-heuristic MIS against the uniform
+    env pdf; weights from eval_disney_brdf so the two strategies' weights
+    sum to one per direction.
     """
     from raytracing_c_tpu.models.scene import (
         MROW_ANISO, MROW_BASE, MROW_EMI, MROW_KIND, MROW_METAL, MROW_NSTR,
@@ -346,10 +418,32 @@ def shade(scene, direction: Vec3, normal: Vec3, normal_geo: Vec3,
     emission = Vec3.where(is_debug, n * 0.5 + 0.5, emission)
     terminate = jnp.where(is_debug, True, terminate)
 
-    return {
+    out = {
         "direction": out_world,
         "tint": tint,
         "emission": emission,
         "terminate": terminate,
         "normal": n,
     }
+
+    if nee:
+        from raytracing_c_tpu.ops import background as bg_ops
+
+        wd = sample_uniform_sphere(rand2[0], rand2[1])  # world
+        wd_t = Vec3(wd.dot(t_basis), wd.dot(b_basis), wd.dot(n))
+        f_nol, pdf_ev = eval_disney_brdf(
+            base_color, rough, metal, sheen, sheen_tint, in_dir, wd_t
+        )
+        big_l = bg_ops.eval_background(scene, wd)
+        pl = UNIFORM_SPHERE_PDF
+        w_nee = (pl * pl) / (pl * pl + pdf_ev * pdf_ev)
+        partial = big_l * f_nol * jnp.where(is_debug, 0.0, w_nee / pl)
+        # deterministic mixture pdf of the CHOSEN scatter direction
+        _, pdf_out = eval_disney_brdf(
+            base_color, rough, metal, sheen, sheen_tint, in_dir, out_t
+        )
+        out["nee_dir"] = wd
+        out["nee_partial"] = partial
+        out["pdf_eval"] = jnp.where(is_debug, jnp.inf, pdf_out)
+
+    return out

@@ -114,7 +114,7 @@ RR_START = 3
 
 def bounce_step(scene, st, rand4, method: str = "topk",
                 texture_mode: str = "bilinear", rr: bool = False,
-                bounce_i=None):
+                bounce_i=None, nee: bool = False, rand2=None):
     """ONE wavefront bounce over a state dict of per-ray planes.
 
     st: dict(origin, direction, throughput, radiance: Vec3; active: bool;
@@ -128,6 +128,15 @@ def bounce_step(scene, st, rand4, method: str = "topk",
     0.05, 1) and its throughput is divided by p — the standard unbiased
     estimator. Uses rand4[3] (the spare channel). bounce_i: traced bounce
     index (required when rr=True).
+
+    nee (BEYOND-PARITY, default off): next-event estimation of the
+    environment light with power-heuristic MIS. Each shaded vertex draws
+    one uniform-sphere light sample (rand2), casts a shadow ray, and adds
+    throughput x nee_partial when unoccluded; the ordinary miss
+    contribution is MIS-weighted by the deterministic scatter pdf carried
+    in st["prev_pdf"] (INF sentinel = previous vertex did no NEE -> full
+    weight). Triangle emission stays unweighted (NEE samples only the env,
+    so no double counting). Shadow rays count toward `rays`.
     """
     active = st["active"]
     o, d = st["origin"], st["direction"]
@@ -150,6 +159,7 @@ def bounce_step(scene, st, rand4, method: str = "topk",
     out = disney.shade(
         scene, d, n_unit, geom["ng"], geom["tangent"], geom["bitangent"],
         geom["uv_u"], geom["uv_v"], geom["mat_id"], rand4, texture_mode,
+        nee=nee, rand2=rand2,
     )
 
     zero = Vec3.zeros((r,))
@@ -157,10 +167,31 @@ def bounce_step(scene, st, rand4, method: str = "topk",
         shaded, st["throughput"] * out["emission"], zero
     )
 
-    # miss: background * throughput (raytracer.c:553-555)
+    # miss: background * throughput (raytracer.c:553-555); under NEE the
+    # env contribution of a scattered ray carries its MIS weight
     miss = active & ~is_hit
     bg = bg_ops.eval_background(scene, d)
+    if nee:
+        pp = st["prev_pdf"]
+        pl = disney.UNIFORM_SPHERE_PDF
+        w_brdf = jnp.where(
+            jnp.isfinite(pp), (pp * pp) / (pp * pp + pl * pl), 1.0
+        )
+        bg = bg * w_brdf
     radiance = radiance + Vec3.where(miss, st["throughput"] * bg, zero)
+
+    if nee:
+        # shadow ray toward the env sample; origin epsilon rule as below
+        wd = out["nee_dir"]
+        sbias = jnp.where(geom["ng"].dot(wd) < 0.0, -EPSILON, EPSILON)
+        s_org = geom["point"] + geom["ng"] * sbias
+        shot = traverse.intersect_scene(scene, s_org, wd, shaded,
+                                        method=method)
+        lit = shaded & ~jnp.isfinite(shot["t"])
+        radiance = radiance + Vec3.where(
+            lit, st["throughput"] * out["nee_partial"], zero
+        )
+        rays = rays + jnp.sum(shaded).astype(jnp.float32)
 
     # terminated rays keep their accumulated emission and go inactive
     cont = shaded & ~out["terminate"]
@@ -192,7 +223,7 @@ def bounce_step(scene, st, rand4, method: str = "topk",
     )
     new_dir = Vec3.where(cont, out["direction"], d)
 
-    return {
+    res = {
         "origin": new_origin,
         "direction": new_dir,
         "throughput": throughput,
@@ -200,11 +231,21 @@ def bounce_step(scene, st, rand4, method: str = "topk",
         "active": (cont | backface),
         "rays": rays,
     }
+    if "prev_pdf" in st:
+        if nee:
+            # backface re-casts continue the SAME segment: keep its pdf
+            res["prev_pdf"] = jnp.where(
+                backface, st["prev_pdf"],
+                jnp.where(cont, out["pdf_eval"], jnp.inf),
+            )
+        else:
+            res["prev_pdf"] = st["prev_pdf"]
+    return res
 
 
 def trace(scene, origin: Vec3, direction: Vec3, uniforms, max_bounces: int,
           method: str = "topk", texture_mode: str = "bilinear",
-          rr: bool = False):
+          rr: bool = False, nee: bool = False, nee_uniforms=None):
     """Trace a batch of rays to completion.
 
     origin/direction: Vec3 of (R,); uniforms: (max_bounces, 4, R) pre-drawn
@@ -225,11 +266,14 @@ def trace(scene, origin: Vec3, direction: Vec3, uniforms, max_bounces: int,
         "radiance": Vec3.zeros((r,)),
         "active": jnp.ones((r,), bool),
         "rays": jnp.float32(0.0),
+        "prev_pdf": jnp.full((r,), jnp.inf),
     }
 
     def bounce(i, st):
         return bounce_step(scene, st, uniforms[i], method, texture_mode,
-                           rr=rr, bounce_i=i)
+                           rr=rr, bounce_i=i, nee=nee,
+                           rand2=None if nee_uniforms is None
+                           else nee_uniforms[i])
 
     # while-loop over bounces: a batch whose rays have ALL terminated (e.g.
     # a sky-only tile, or every path absorbed) stops early instead of
@@ -258,10 +302,16 @@ _SORT_PLANES = (
 #: smallest bucket: a few Pallas tiles so the kernel grid stays busy
 _MIN_BUCKET = 4096
 
+#: experiment hook (tools/octant_ab.py): secondary bucket-sort key = ray
+#: direction octant, clustering lanes by direction for fetch coherence.
+#: A/B'd on chip — see docs/PERF.md for the measured verdict.
+SORT_OCTANT = False
+
 
 def trace_bucketed(scene, origin: Vec3, direction: Vec3, uniforms,
                    max_bounces: int, method: str = "topk",
-                   texture_mode: str = "bilinear", rr: bool = False):
+                   texture_mode: str = "bilinear", rr: bool = False,
+                   nee: bool = False, nee_uniforms=None):
     """trace() with on-device occupancy compaction — the wavefront
     work-pool of the reference (render_thread_proc's chunk stealing,
     raytracer.c:596-720) done the TPU way, with zero host round-trips.
@@ -301,18 +351,28 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, uniforms,
         "active": jnp.ones((r,), bool),
         "slot": jnp.arange(r, dtype=jnp.int32),
         "rays": jnp.float32(0.0),
+        "prev_pdf": jnp.full((r,), jnp.inf),
     }
 
     def compact(st):
         key = (~st["active"]).astype(jnp.int32)  # live lanes first
+        if SORT_OCTANT:
+            d_ = st["direction"]
+            octant = (
+                (d_.x < 0).astype(jnp.int32) * 4
+                + (d_.y < 0).astype(jnp.int32) * 2
+                + (d_.z < 0).astype(jnp.int32)
+            )
+            key = key * 8 + octant
         planes = [getattr(st[name], c) for name, c in _SORT_PLANES]
         out = jax.lax.sort(
-            (key, st["slot"], *planes), num_keys=1
+            (key, st["slot"], st["prev_pdf"], *planes), num_keys=1
         )
-        key_s, slot_s, *planes_s = out
+        key_s, slot_s, pp_s, *planes_s = out
         new = dict(st)
         new["active"] = key_s == 0
         new["slot"] = slot_s
+        new["prev_pdf"] = pp_s
         it = iter(planes_s)
         for name in ("origin", "direction", "throughput", "radiance"):
             new[name] = Vec3(next(it), next(it), next(it))
@@ -334,10 +394,13 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, uniforms,
                 ),
                 "active": st["active"][:w],
                 "rays": st["rays"],
+                "prev_pdf": st["prev_pdf"][:w],
             }
             out = bounce_step(
                 scene, head, uniforms[i][:, :w], method, texture_mode,
-                rr=rr, bounce_i=i,
+                rr=rr, bounce_i=i, nee=nee,
+                rand2=None if nee_uniforms is None
+                else nee_uniforms[i][:, :w],
             )
             new = dict(st)
             for name in ("origin", "direction", "throughput", "radiance"):
@@ -353,6 +416,9 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, uniforms,
                 [out["active"], st["active"][w:]]
             )
             new["rays"] = out["rays"]
+            new["prev_pdf"] = jnp.concatenate(
+                [out["prev_pdf"], st["prev_pdf"][w:]]
+            )
             return new
 
         return br

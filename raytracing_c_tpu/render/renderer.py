@@ -45,34 +45,13 @@ class RenderStats:
         return self.rays_traced / 1e6 / max(self.wall_ms / 1e3, 1e-9)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "width", "height", "spp", "max_bounces", "method", "texture_mode",
-        "compact", "rr",
-    ),
-)
-def render_batch(
-    scene, px, py, key, *, width: int, height: int, spp: int,
-    max_bounces: int, method: str = "topk", texture_mode: str = "bilinear",
-    compact: bool = False, rr: bool = False,
-):
-    """Render one flat batch of pixels.
-
-    px/py: (P,) i32 pixel coordinates. Returns (rgb_linear (P, 3) f32 mean
-    over spp, rays_traced scalar).
-    """
+def _batch_core(scene, px, py, jitter, uniforms, nee_uniforms, *,
+                width, height, spp, max_bounces, method, texture_mode,
+                compact, rr, nee):
+    """Shared body of the (sharded) batch renderers: raygen -> trace ->
+    per-pixel spp mean. All random draws come in pre-drawn so the sharded
+    wrapper can hand each shard its slice of the GLOBAL stream."""
     p = px.shape[0]
-    r = p * spp
-
-    # stateless counter-based RNG replaces the reference's time-seeded
-    # thread-local PCG (common.h:13-28, raytracer.c:597): one threefry draw
-    # for raygen jitter + per-bounce material uniforms. All draws are
-    # batch-minor: (2, R) and (bounces, 4, R).
-    k_jit, k_mat = jax.random.split(key)
-    jitter = jax.random.uniform(k_jit, (2, r), jnp.float32)
-    uniforms = jax.random.uniform(k_mat, (max_bounces, 4, r), jnp.float32)
-
     rpx = jnp.repeat(px, spp)
     rpy = jnp.repeat(py, spp)
     origin, direction = camera_mod.generate_rays(
@@ -82,7 +61,8 @@ def render_batch(
     tracer = integrator.trace_bucketed if compact else integrator.trace
     radiance, rays = tracer(
         scene, origin, direction, uniforms, max_bounces,
-        method=method, texture_mode=texture_mode, rr=rr,
+        method=method, texture_mode=texture_mode, rr=rr, nee=nee,
+        nee_uniforms=nee_uniforms,
     )
     rgb = jnp.stack(
         [
@@ -93,6 +73,105 @@ def render_batch(
         axis=-1,
     )
     return rgb, rays
+
+
+def _draw_uniforms(key, r, max_bounces, nee):
+    # stateless counter-based RNG replaces the reference's time-seeded
+    # thread-local PCG (common.h:13-28, raytracer.c:597): one threefry draw
+    # for raygen jitter + per-bounce material uniforms. All draws are
+    # batch-minor: (2, R) and (bounces, 4, R).
+    k_jit, k_mat = jax.random.split(key)
+    jitter = jax.random.uniform(k_jit, (2, r), jnp.float32)
+    uniforms = jax.random.uniform(k_mat, (max_bounces, 4, r), jnp.float32)
+    nee_uniforms = None
+    if nee:
+        # separate key so the base stream (and nee-off goldens) is unchanged
+        k_nee = jax.random.fold_in(key, 7919)
+        nee_uniforms = jax.random.uniform(
+            k_nee, (max_bounces, 2, r), jnp.float32
+        )
+    return jitter, uniforms, nee_uniforms
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "max_bounces", "method", "texture_mode",
+        "compact", "rr", "nee",
+    ),
+)
+def render_batch(
+    scene, px, py, key, *, width: int, height: int, spp: int,
+    max_bounces: int, method: str = "topk", texture_mode: str = "bilinear",
+    compact: bool = False, rr: bool = False, nee: bool = False,
+):
+    """Render one flat batch of pixels.
+
+    px/py: (P,) i32 pixel coordinates. Returns (rgb_linear (P, 3) f32 mean
+    over spp, rays_traced scalar).
+    """
+    jitter, uniforms, nee_uniforms = _draw_uniforms(
+        key, px.shape[0] * spp, max_bounces, nee
+    )
+    return _batch_core(
+        scene, px, py, jitter, uniforms, nee_uniforms,
+        width=width, height=height, spp=spp, max_bounces=max_bounces,
+        method=method, texture_mode=texture_mode, compact=compact, rr=rr,
+        nee=nee,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "width", "height", "spp", "max_bounces", "method",
+        "texture_mode", "compact", "rr", "nee",
+    ),
+)
+def render_batch_sharded(
+    scene, px, py, key, *, mesh, width: int, height: int, spp: int,
+    max_bounces: int, method: str = "topk", texture_mode: str = "bilinear",
+    compact: bool = False, rr: bool = False, nee: bool = False,
+):
+    """render_batch over a device mesh via shard_map (SURVEY §2: rays
+    sharded, scene replicated, no collectives in the trace).
+
+    Random draws happen GLOBALLY (each shard receives its slice of the
+    same stream), so compact=False is bit-identical to the single-device
+    render. shard_map — not GSPMD auto-sharding — is what lets
+    compact=True work multi-chip: each shard bucket-sorts its OWN lanes
+    (a global lax.sort would force cross-chip collectives every bounce).
+    The ray counter is psum'd."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    axis = mesh.axis_names[0]
+    r = px.shape[0] * spp
+    jitter, uniforms, nee_uniforms = _draw_uniforms(key, r, max_bounces, nee)
+
+    def per_shard(scene, px, py, jitter, uniforms, *nu):
+        rgb, rays = _batch_core(
+            scene, px, py, jitter, uniforms, nu[0] if nee else None,
+            width=width, height=height, spp=spp, max_bounces=max_bounces,
+            method=method, texture_mode=texture_mode, compact=compact,
+            rr=rr, nee=nee,
+        )
+        return rgb, jax.lax.psum(rays, axis)
+
+    specs = [P(), P(axis), P(axis), P(None, axis), P(None, None, axis)]
+    args = [scene, px, py, jitter, uniforms]
+    if nee:
+        specs.append(P(None, None, axis))
+        args.append(nee_uniforms)
+    # check_vma off: zero-initialized loop carries start replicated and
+    # become shard-varying after one iteration, which the strict varying-
+    # axis checker rejects; semantics are unaffected (pure map + one psum)
+    fn = shard_map(
+        per_shard, mesh=mesh, in_specs=tuple(specs),
+        out_specs=(P(axis), P()), check_vma=False,
+    )
+    return fn(*args)
 
 
 def render(
@@ -111,6 +190,7 @@ def render(
     engine: str = "fused",
     compact: bool | None = None,
     rr: bool = False,
+    nee: bool = False,
 ):
     """Render a full image.
 
@@ -126,12 +206,12 @@ def render(
     (falls back to fused under a mesh).
 
     compact: on-device bucket compaction of the bounce loop
-    (integrator.trace_bucketed). Default: on for single-device renders,
-    off under a mesh (a cross-shard lax.sort would force collectives;
-    rays stay embarrassingly parallel instead).
+    (integrator.trace_bucketed). Default on. Mesh renders run it
+    PER-SHARD via shard_map (render_batch_sharded) — each shard sorts its
+    own lanes, so no cross-chip collectives enter the trace.
     """
     if compact is None:
-        compact = mesh is None
+        compact = True
     if method == "auto":
         if scene.triangles.capacity <= 64:
             # tiny scenes: the reference's own exhaustive oracle path
@@ -233,12 +313,18 @@ def render(
             if shard is not None:
                 px = jax.device_put(px, shard)
                 py = jax.device_put(py, shard)
-            rgb, rays = render_batch(
-                scene, px, py, jax.random.fold_in(key, b),
+            kw = dict(
                 width=width, height=height, spp=spp, max_bounces=max_bounces,
                 method=method, texture_mode=texture_mode, compact=compact,
-                rr=rr,
+                rr=rr, nee=nee,
             )
+            kb = jax.random.fold_in(key, b)
+            if mesh is not None:
+                rgb, rays = render_batch_sharded(
+                    scene, px, py, kb, mesh=mesh, **kw
+                )
+            else:
+                rgb, rays = render_batch(scene, px, py, kb, **kw)
             in_flight.append((b, rgb, rays))
             if len(in_flight) > pipeline_depth:
                 drain(in_flight.pop(0))

@@ -31,12 +31,12 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def _render_case(model: str, size: int, spp: int, bounces: int,
-                 denoise: bool = False):
+                 denoise: bool = False, seed: int = 42):
     scene = load_scene(
         f"{MODELS}/{model}", background_path=None, warn=lambda *a: None
     )
     img, _ = render(
-        scene, size, size, spp=spp, max_bounces=bounces, seed=42
+        scene, size, size, spp=spp, max_bounces=bounces, seed=seed
     )
     if denoise:
         from raytracing_c_tpu.ops.denoise import denoise_u8

@@ -173,3 +173,31 @@ def test_bucketed_trace_matches_dense_statistically():
     b = np.asarray(rad_b.to_array()).mean()
     np.testing.assert_allclose(b, a, rtol=0.03)
     assert float(rays_b) == float(rays_d)  # same live-set per bounce
+
+
+def test_nee_env_unbiased():
+    """--nee (beyond-parity): env-light NEE with power-heuristic MIS must
+    agree with the plain estimator in expectation, and must count its
+    shadow rays."""
+    scene = simple_scene(quad_mesh(), bg=(1.0, 0.8, 0.6))
+    n = 2048
+    o = np.tile([[0.0, 0.0, 3.0]], (n, 1))
+    d = np.tile([[0.0, 0.0, -1.0]], (n, 1))
+
+    def run(nee, seed):
+        uni = jax.random.uniform(jax.random.PRNGKey(seed), (6, 4, n))
+        nee_uni = jax.random.uniform(
+            jax.random.PRNGKey(seed + 999), (6, 2, n))
+        rad, rays = integrator.trace(
+            scene, vec3_of(o), vec3_of(d), uni, 6, method="brute",
+            nee=nee, nee_uniforms=nee_uni if nee else None,
+        )
+        return np.asarray(rad.to_array()), float(rays)
+
+    plain = np.concatenate([run(False, s)[0] for s in range(6)])
+    nee = np.concatenate([run(True, 100 + s)[0] for s in range(6)])
+    # unbiased per channel (colored sky catches channel mixups)
+    np.testing.assert_allclose(
+        nee.mean(axis=0), plain.mean(axis=0), rtol=0.03)
+    # NEE pays one shadow ray per shaded vertex
+    assert run(True, 0)[1] > run(False, 0)[1]

@@ -31,7 +31,8 @@ py = jnp.asarray(476 + (ids // 256) % 64)
 key = jax.random.PRNGKey(0)
 
 kw = dict(width=1920, height=1080, spp=16, max_bounces=8,
-          method=os.environ.get("PROFILE_METHOD", "pallas"))
+          method=os.environ.get("PROFILE_METHOD", "pallas"),
+          compact=os.environ.get("PROFILE_COMPACT", "1") == "1")
 rgb, rays = render_batch(scene, px, py, key, **kw)
 jax.block_until_ready(rgb)
 print("rays per batch:", float(rays))

@@ -26,29 +26,47 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 from test_golden import CASES, GOLDEN_DIR, _render_case, psnr  # noqa: E402
 
-THRESH_DB = 30.0  # MC noise at 2 spp dominates; structural breaks sit far below
+# Cross-backend float scheduling (sin/rsqrt implementations etc.) diverges
+# MC paths, so TPU-vs-CPU differs by NOISE even when every subsystem is
+# correct. The gate is therefore self-calibrating: the CPU seed42-vs-seed43
+# pair (goldens <name>.npy vs <name>_alt.npy) gives the noise floor for each
+# config, and the TPU render must land within MARGIN_DB of it. Structural
+# breaks (wrong hits/shading) sit far below the floor.
+MARGIN_DB = 3.0
 
 
 def main() -> int:
     print("backend:", jax.default_backend())
     results = {}
+    ok_all = True
     for name in sorted(CASES):
         golden_path = os.path.join(GOLDEN_DIR, f"{name}.npy")
-        if not os.path.exists(golden_path):
-            print(f"{name}: NO GOLDEN (run pytest tests/test_golden.py)")
+        alt_path = os.path.join(GOLDEN_DIR, f"{name}_alt.npy")
+        if not (os.path.exists(golden_path) and os.path.exists(alt_path)):
+            print(f"{name}: NO GOLDEN (run pytest tests/test_golden.py "
+                  f"+ tools/make_alt_goldens)")
             continue
         img = _render_case(*CASES[name])
-        p = psnr(img, np.load(golden_path))
-        results[name] = round(float(p), 2)
-        status = "ok" if p >= THRESH_DB else "FAIL"
-        print(f"{name:10s} PSNR vs CPU golden: {p:6.2f} dB  [{status}]")
+        golden = np.load(golden_path)
+        p = psnr(img, golden)
+        floor = psnr(np.load(alt_path), golden)
+        ok = bool(p >= min(floor, 60.0) - MARGIN_DB)
+        ok_all = ok_all and ok
+        results[name] = {
+            "psnr_db": round(float(p), 2),
+            "noise_floor_db": round(float(floor), 2),
+        }
+        print(f"{name:10s} PSNR vs CPU golden: {p:6.2f} dB  "
+              f"(CPU seed-to-seed floor {floor:6.2f})  "
+              f"[{'ok' if ok else 'FAIL'}]")
 
     out = {
-        "metric": "TPU-vs-CPU PSNR (dB) on BASELINE configs",
+        "metric": "TPU-vs-CPU PSNR (dB) on BASELINE configs, "
+                  "gated against the CPU seed-to-seed noise floor",
         "backend": jax.default_backend(),
-        "threshold_db": THRESH_DB,
+        "margin_db": MARGIN_DB,
         "psnr": results,
-        "pass": bool(results) and all(v >= THRESH_DB for v in results.values()),
+        "pass": bool(results) and ok_all,
     }
     path = os.path.join(os.path.dirname(__file__), "..", "PSNR_r02.json")
     with open(path, "w") as f:
