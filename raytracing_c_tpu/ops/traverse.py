@@ -508,8 +508,12 @@ def intersect_bvh_pallas_verified(
 
     Tier 0: pallas kernel, ksel=8 candidates/level, kp leaf groups — the
     cheapest pass that finds ~90% of hits exactly, with the truncation
-    certificate marking every ray that could be wrong (~10% on helmet).
-    Tier 1: suspects compact into an r/8 buffer and rerun the SAME kernel
+    certificate marking every ray that could be wrong (~10% on helmet
+    camera batches, up to ~15% on full-frame mega-batches — the r/4 cap
+    keeps the overflow fallback out of real renders; its full-width wide
+    pass + 4k-lane brute measured 38 ms per firing at 262k).
+    Tier 1: suspects sort to the front of an r/4 slice and rerun the SAME
+    kernel
     wider (ksel=16 candidates/level, kp=16: every top-16 block's group
     fetched) — measured to clear all but ~0.02-0.05%% of the batch.
     Tier 2: rays still suspect after that compact into a small buffer for
@@ -528,7 +532,7 @@ def intersect_bvh_pallas_verified(
         suspect = suspect & active
 
     r = origin.shape[0]
-    s_cap = max_suspects or min(max(r // 8, 512), r)
+    s_cap = max_suspects or min(max(r // 4, 512), r)
 
     def wide_exact(o, d, act):
         rw = o.shape[0]

@@ -89,7 +89,7 @@ ID_MASK = (1 << ID_BITS) - 1
 NROWS = 56
 
 #: rays per grid step; tables are VMEM-resident across steps
-R_TILE = 512
+R_TILE = 1024
 
 #: precision for the exact f32 leaf fetch. Default (None) uses the TPU's
 #: 3-pass f32 matmul which reconstructs one-hot selections exactly; flip to
@@ -511,7 +511,7 @@ def scene_fits(triangles, bvh, budget_bytes: int = 8 * 2**20) -> bool:
 def intersect_bvh_pallas(
     origin: Vec3, direction: Vec3, triangles, bvh, active=None, kp: int = 2,
     ksel: int = 8, t_max=None, tables: PallasTables | None = None,
-    interpret: bool | None = None,
+    interpret: bool | None = None, tile: int | None = None,
 ):
     """Single-pass fused traversal (Pallas). Returns dict(t, tri, u, v,
     dropped_min) with the same semantics/certificate as
@@ -527,11 +527,13 @@ def intersect_bvh_pallas(
     kp = min(kp, max(W, ksel))
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
+    if tile is None:
+        tile = R_TILE
 
     if tables is None or tables.depth != depth:
         tables = build_tables(triangles, bvh)
 
-    r_pad = ((r + R_TILE - 1) // R_TILE) * R_TILE
+    r_pad = ((r + tile - 1) // tile) * tile
     if active is None:
         act = jnp.ones((r,), jnp.float32)
     else:
@@ -552,13 +554,13 @@ def intersect_bvh_pallas(
     )
     out = pl.pallas_call(
         functools.partial(_traverse_kernel, depth, ksel, kp),
-        grid=(r_pad // R_TILE,),
+        grid=(r_pad // tile,),
         in_specs=[
-            pl.BlockSpec((8, R_TILE), lambda i: (0, i),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             *[full(t) for t in tbls],
         ],
-        out_specs=pl.BlockSpec((8, R_TILE), lambda i: (0, i),
+        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
         interpret=interpret,

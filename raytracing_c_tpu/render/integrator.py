@@ -308,10 +308,10 @@ _MIN_BUCKET = 4096
 SORT_OCTANT = False
 
 
-def trace_bucketed(scene, origin: Vec3, direction: Vec3, uniforms,
+def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
                    max_bounces: int, method: str = "topk",
                    texture_mode: str = "bilinear", rr: bool = False,
-                   nee: bool = False, nee_uniforms=None):
+                   nee: bool = False):
     """trace() with on-device occupancy compaction — the wavefront
     work-pool of the reference (render_thread_proc's chunk stealing,
     raytracer.c:596-720) done the TPU way, with zero host round-trips.
@@ -326,12 +326,12 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, uniforms,
     order stays permuted across bounces; one final sort on the carried
     sample slot restores it.
 
-    Per-sample RNG: a lane consumes uniforms[bounce, :, lane] at its
-    CURRENT position, so the stream a sample sees depends on the
-    permutation. Each (bounce, lane) draw is still used at most once and
-    is independent of the path state that routed samples to lanes, so the
-    estimator is unbiased; images differ from trace() only in noise
-    pattern (seed-deterministic either way).
+    Per-sample RNG: uniforms derive from (key, SLOT, bounce) via
+    vectorized threefry fold_in (~0.2 ms per 1M lanes), where slot is the
+    sample id carried through every permutation — so a sample's stream is
+    PERMUTATION-INDEPENDENT and images are invariant to the compaction
+    schedule (bucket widths, sort cadence). Differs from trace()'s
+    pre-drawn stream; both are seed-deterministic.
     """
     r = origin.shape[0]
 
@@ -363,14 +363,14 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, uniforms,
                 + (d_.y < 0).astype(jnp.int32) * 2
                 + (d_.z < 0).astype(jnp.int32)
             )
-            key = key * 8 + octant
+            key = key * 8 + octant  # active decodes as key < 8 below
         planes = [getattr(st[name], c) for name, c in _SORT_PLANES]
         out = jax.lax.sort(
             (key, st["slot"], st["prev_pdf"], *planes), num_keys=1
         )
         key_s, slot_s, pp_s, *planes_s = out
         new = dict(st)
-        new["active"] = key_s == 0
+        new["active"] = key_s < 8 if SORT_OCTANT else key_s == 0
         new["slot"] = slot_s
         new["prev_pdf"] = pp_s
         it = iter(planes_s)
@@ -396,11 +396,15 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, uniforms,
                 "rays": st["rays"],
                 "prev_pdf": st["prev_pdf"][:w],
             }
+            def draw(s):
+                k = jax.random.fold_in(jax.random.fold_in(key, s), i)
+                return jax.random.uniform(k, (6,), jnp.float32)
+
+            u6 = jax.vmap(draw, out_axes=1)(st["slot"][:w])  # (6, w)
             out = bounce_step(
-                scene, head, uniforms[i][:, :w], method, texture_mode,
+                scene, head, u6[:4], method, texture_mode,
                 rr=rr, bounce_i=i, nee=nee,
-                rand2=None if nee_uniforms is None
-                else nee_uniforms[i][:, :w],
+                rand2=u6[4:6] if nee else None,
             )
             new = dict(st)
             for name in ("origin", "direction", "throughput", "radiance"):
@@ -426,21 +430,27 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, uniforms,
     branches = [make_branch(w, None) for w in widths]
 
     def cond(iv):
-        i, st = iv
+        i, k_prev, st = iv
         return jnp.logical_and(i < max_bounces, jnp.any(st["active"]))
 
     def body(iv):
-        i, st = iv
-        st = compact(st)
+        i, k_prev, st = iv
         n = jnp.sum(st["active"].astype(jnp.int32))
         # narrowest bucket that holds every live lane (monotone count)
-        k = jnp.int32(0)
+        k_new = jnp.int32(0)
         for j, w in enumerate(widths[1:], start=1):
-            k = jnp.where(n <= w, jnp.int32(j), k)
+            k_new = jnp.where(n <= w, jnp.int32(j), k_new)
+        # sort ONLY when it lets the bucket shrink: lanes never reactivate,
+        # so every live lane already sits inside the previous front slice —
+        # the per-bounce sort (~1.6 ms at 1M lanes) is pure waste otherwise
+        do_sort = k_new > k_prev
+        st = jax.lax.cond(do_sort, compact, lambda s: s, st)
+        k = jnp.where(do_sort, k_new, k_prev)
         st = jax.lax.switch(k, branches, (i, st))
-        return i + 1, st
+        return i + 1, k, st
 
-    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    _, _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0),
+                                               state))
 
     # undo the accumulated permutation
     _, rx, ry, rz = jax.lax.sort(

@@ -45,12 +45,15 @@ class RenderStats:
         return self.rays_traced / 1e6 / max(self.wall_ms / 1e3, 1e-9)
 
 
-def _batch_core(scene, px, py, jitter, uniforms, nee_uniforms, *,
+def _batch_core(scene, px, py, jitter, uniforms, nee_uniforms, key, *,
                 width, height, spp, max_bounces, method, texture_mode,
                 compact, rr, nee):
     """Shared body of the (sharded) batch renderers: raygen -> trace ->
-    per-pixel spp mean. All random draws come in pre-drawn so the sharded
-    wrapper can hand each shard its slice of the GLOBAL stream."""
+    per-pixel spp mean. Dense trace consumes the pre-drawn `uniforms`
+    stream (sharded wrappers hand each shard its slice of the GLOBAL
+    stream -> bit parity); the bucketed tracer derives uniforms from
+    (key, sample slot, bounce) instead, so its images are invariant to
+    the compaction schedule."""
     p = px.shape[0]
     rpx = jnp.repeat(px, spp)
     rpy = jnp.repeat(py, spp)
@@ -58,12 +61,17 @@ def _batch_core(scene, px, py, jitter, uniforms, nee_uniforms, *,
         scene.camera, width, height, rpx, rpy, jitter[0], jitter[1]
     )
 
-    tracer = integrator.trace_bucketed if compact else integrator.trace
-    radiance, rays = tracer(
-        scene, origin, direction, uniforms, max_bounces,
-        method=method, texture_mode=texture_mode, rr=rr, nee=nee,
-        nee_uniforms=nee_uniforms,
-    )
+    if compact:
+        radiance, rays = integrator.trace_bucketed(
+            scene, origin, direction, key, max_bounces,
+            method=method, texture_mode=texture_mode, rr=rr, nee=nee,
+        )
+    else:
+        radiance, rays = integrator.trace(
+            scene, origin, direction, uniforms, max_bounces,
+            method=method, texture_mode=texture_mode, rr=rr, nee=nee,
+            nee_uniforms=nee_uniforms,
+        )
     rgb = jnp.stack(
         [
             radiance.x.reshape(p, spp).mean(axis=1),
@@ -75,16 +83,18 @@ def _batch_core(scene, px, py, jitter, uniforms, nee_uniforms, *,
     return rgb, rays
 
 
-def _draw_uniforms(key, r, max_bounces, nee):
+def _draw_uniforms(key, r, max_bounces, nee, skip_mat=False):
     # stateless counter-based RNG replaces the reference's time-seeded
     # thread-local PCG (common.h:13-28, raytracer.c:597): one threefry draw
     # for raygen jitter + per-bounce material uniforms. All draws are
     # batch-minor: (2, R) and (bounces, 4, R).
     k_jit, k_mat = jax.random.split(key)
     jitter = jax.random.uniform(k_jit, (2, r), jnp.float32)
-    uniforms = jax.random.uniform(k_mat, (max_bounces, 4, r), jnp.float32)
+    uniforms = None if skip_mat else jax.random.uniform(
+        k_mat, (max_bounces, 4, r), jnp.float32
+    )
     nee_uniforms = None
-    if nee:
+    if nee and not skip_mat:
         # separate key so the base stream (and nee-off goldens) is unchanged
         k_nee = jax.random.fold_in(key, 7919)
         nee_uniforms = jax.random.uniform(
@@ -111,10 +121,11 @@ def render_batch(
     over spp, rays_traced scalar).
     """
     jitter, uniforms, nee_uniforms = _draw_uniforms(
-        key, px.shape[0] * spp, max_bounces, nee
+        key, px.shape[0] * spp, max_bounces, nee, skip_mat=compact
     )
     return _batch_core(
         scene, px, py, jitter, uniforms, nee_uniforms,
+        jax.random.fold_in(key, 1),
         width=width, height=height, spp=spp, max_bounces=max_bounces,
         method=method, texture_mode=texture_mode, compact=compact, rr=rr,
         nee=nee,
@@ -148,22 +159,33 @@ def render_batch_sharded(
 
     axis = mesh.axis_names[0]
     r = px.shape[0] * spp
-    jitter, uniforms, nee_uniforms = _draw_uniforms(key, r, max_bounces, nee)
+    jitter, uniforms, nee_uniforms = _draw_uniforms(
+        key, r, max_bounces, nee, skip_mat=compact
+    )
 
-    def per_shard(scene, px, py, jitter, uniforms, *nu):
+    def per_shard(scene, px, py, jitter, *rest):
+        uni = rest[0] if not compact else None
+        nu = rest[1] if (not compact and nee) else None
+        # bucketed RNG keys by LOCAL slot -> make the key shard-unique
+        ks = jax.random.fold_in(
+            jax.random.fold_in(key, 1), jax.lax.axis_index(axis)
+        )
         rgb, rays = _batch_core(
-            scene, px, py, jitter, uniforms, nu[0] if nee else None,
+            scene, px, py, jitter, uni, nu, ks,
             width=width, height=height, spp=spp, max_bounces=max_bounces,
             method=method, texture_mode=texture_mode, compact=compact,
             rr=rr, nee=nee,
         )
         return rgb, jax.lax.psum(rays, axis)
 
-    specs = [P(), P(axis), P(axis), P(None, axis), P(None, None, axis)]
-    args = [scene, px, py, jitter, uniforms]
-    if nee:
+    specs = [P(), P(axis), P(axis), P(None, axis)]
+    args = [scene, px, py, jitter]
+    if not compact:
         specs.append(P(None, None, axis))
-        args.append(nee_uniforms)
+        args.append(uniforms)
+        if nee:
+            specs.append(P(None, None, axis))
+            args.append(nee_uniforms)
     # check_vma off: zero-initialized loop carries start replicated and
     # become shard-varying after one iteration, which the strict varying-
     # axis checker rejects; semantics are unaffected (pure map + one psum)

@@ -168,11 +168,14 @@ def test_bucketed_trace_matches_dense_statistically():
     rad_d, rays_d = integrator.trace(
         scene, vec3_of(o), vec3_of(d), uni, 6, method="brute")
     rad_b, rays_b = integrator.trace_bucketed(
-        scene, vec3_of(o), vec3_of(d), uni, 6, method="brute")
+        scene, vec3_of(o), vec3_of(d), jax.random.PRNGKey(7), 6,
+        method="brute")
     a = np.asarray(rad_d.to_array()).mean()
     b = np.asarray(rad_b.to_array()).mean()
     np.testing.assert_allclose(b, a, rtol=0.03)
-    assert float(rays_b) == float(rays_d)  # same live-set per bounce
+    # slot-keyed RNG: different stream than the pre-drawn dense one, so
+    # live-sets differ only statistically
+    np.testing.assert_allclose(float(rays_b), float(rays_d), rtol=0.05)
 
 
 def test_nee_env_unbiased():

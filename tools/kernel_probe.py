@@ -124,3 +124,14 @@ for name, o, d in (("camera", o_cam, d_cam), ("bounce", o_b, d_b)):
             o, d, tris, bvh)),
         o, d,
     )
+
+
+# --- tile-size sweep (run with PROBE_TILES=1) ------------------------------
+if __name__ == "__main__" and __import__("os").environ.get("PROBE_TILES"):
+    for tile in (256, 512, 1024, 2048):
+        timed(
+            f"[camera] pallas kp=2 tile={tile:5d}",
+            serial_loop(lambda o, d, tile=tile: tp.intersect_bvh_pallas(
+                o, d, tris, bvh, kp=2, tables=PT, tile=tile)),
+            o_cam, d_cam,
+        )
