@@ -335,13 +335,15 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
     """
     r = origin.shape[0]
 
-    # /4 width steps: a bounce pays at most 4x its live-lane need, and the
-    # switch stays at <=4 branches — each branch compiles its own copy of
-    # the full bounce program (4 Pallas kernels + sorts), and 7 /2-step
-    # branches measured ~45 min of (remote) compile on the tunnel
+    # /2 width steps, <=5 switch branches: a bounce pays at most 2x its
+    # live-lane need (a /4 ladder measured ~26% more bounce-lane work on
+    # helmet's occupancy curve), while the branch count stays bounded —
+    # each branch compiles its own copy of the full bounce program
+    # (4 Pallas kernels + sorts); 7 branches once measured ~45 min of
+    # (remote) compile on the tunnel, 4-5 compile in minutes
     widths = [r]
-    while widths[-1] // 4 >= max(_MIN_BUCKET, r // 64):
-        widths.append(widths[-1] // 4)
+    while len(widths) < 5 and widths[-1] // 2 >= max(_MIN_BUCKET, r // 16):
+        widths.append(widths[-1] // 2)
 
     state = {
         "origin": origin,

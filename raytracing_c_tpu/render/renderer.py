@@ -80,7 +80,10 @@ def _batch_core(scene, px, py, jitter, uniforms, nee_uniforms, key, *,
         ],
         axis=-1,
     )
-    return rgb, rays
+    # encode to u8 ON DEVICE: the per-batch readback drops from 12 B to
+    # 3 B per pixel (the tunnel moves ~40 MB/s), and the per-pixel encode
+    # is identical to encoding the assembled image
+    return color.encode_u8(rgb), rays
 
 
 def _draw_uniforms(key, r, max_bounces, nee, skip_mat=False):
@@ -101,6 +104,41 @@ def _draw_uniforms(key, r, max_bounces, nee, skip_mat=False):
             k_nee, (max_bounces, 2, r), jnp.float32
         )
     return jitter, uniforms, nee_uniforms
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "max_bounces", "batch_px", "method",
+        "texture_mode", "compact", "rr", "nee",
+    ),
+)
+def render_batch_indexed(
+    scene, xs_all, ys_all, key, b, *, width: int, height: int, spp: int,
+    max_bounces: int, batch_px: int, method: str = "topk",
+    texture_mode: str = "bilinear", compact: bool = False,
+    rr: bool = False, nee: bool = False,
+):
+    """One batch of the single-device render loop, fully device-side: the
+    pixel list lives on device whole, the batch slice + per-batch key fold
+    happen INSIDE the jit, and the host hands over only the batch index —
+    one dispatch per batch. (Per-batch host slicing/uploads and tiny
+    fold_in/slice dispatches each cost a tunnel round-trip; at 32 batches
+    they measured ~0.5-1 s of wall.)"""
+    start = b * batch_px
+    px = jax.lax.dynamic_slice_in_dim(xs_all, start, batch_px)
+    py = jax.lax.dynamic_slice_in_dim(ys_all, start, batch_px)
+    kb = jax.random.fold_in(key, b)
+    jitter, uniforms, nee_uniforms = _draw_uniforms(
+        kb, batch_px * spp, max_bounces, nee, skip_mat=compact
+    )
+    return _batch_core(
+        scene, px, py, jitter, uniforms, nee_uniforms,
+        jax.random.fold_in(kb, 1),
+        width=width, height=height, spp=spp, max_bounces=max_bounces,
+        method=method, texture_mode=texture_mode, compact=compact, rr=rr,
+        nee=nee,
+    )
 
 
 @functools.partial(
@@ -287,7 +325,7 @@ def render(
         scene = jax.device_put(scene, NamedSharding(mesh, P()))
 
     key = jax.random.PRNGKey(seed)
-    out = np.zeros((n_pixels + pad, 3), np.float32)
+    out = np.zeros((n_pixels + pad, 3), np.uint8)
     rays_total = 0.0
 
     if limit_batches is not None:
@@ -297,7 +335,7 @@ def render(
     # device->host readback of batch b overlaps batch b+1..b+k's compute
     # (over the axon tunnel a blocking readback costs ~100 ms — serializing
     # it per batch would idle the chip for a large fraction of the render)
-    pipeline_depth = 4
+    pipeline_depth = 8
     in_flight: list = []
 
     def drain(entry):
@@ -305,11 +343,20 @@ def render(
         b, rgb, rays = entry
         lo = b * batch_pixels
         hi = min((b + 1) * batch_pixels, n_pixels)
+        # ONE device_get for both outputs (separate np.asarray/float calls
+        # pay the ~26 ms tunnel round-trip latency twice per batch)
+        rgb_h, rays_h = jax.device_get((rgb, rays))
         if hi > lo:
-            out[perm[lo:hi]] = np.asarray(rgb)[: hi - lo]
-        rays_total += float(rays)
+            out[perm[lo:hi]] = rgb_h[: hi - lo]
+        rays_total += float(rays_h)
         if progress is not None:
             progress(b + 1, n_batches)
+
+    # ONE host->device upload of the full pixel list; batches slice it
+    # inside the jitted program (render_batch_indexed)
+    if mesh is None:
+        xs_dev = jnp.asarray(xs)
+        ys_dev = jnp.asarray(ys)
 
     t0 = time.perf_counter()
     if engine == "pool" and shard is None:
@@ -325,28 +372,31 @@ def render(
             )
 
         pool_mod.run_pool_tasks(
-            make_task, n_batches, lambda b, rgb, rays: drain((b, rgb, rays))
+            make_task, n_batches,
+            lambda b, rgb, rays: drain(
+                (b, color.encode_u8(jnp.asarray(rgb)), rays)
+            ),
         )
     else:
+        kw = dict(
+            width=width, height=height, spp=spp, max_bounces=max_bounces,
+            method=method, texture_mode=texture_mode, compact=compact,
+            rr=rr, nee=nee,
+        )
         for b in range(n_batches):
-            sl = slice(b * batch_pixels, (b + 1) * batch_pixels)
-            px = jnp.asarray(xs[sl])
-            py = jnp.asarray(ys[sl])
-            if shard is not None:
-                px = jax.device_put(px, shard)
-                py = jax.device_put(py, shard)
-            kw = dict(
-                width=width, height=height, spp=spp, max_bounces=max_bounces,
-                method=method, texture_mode=texture_mode, compact=compact,
-                rr=rr, nee=nee,
-            )
-            kb = jax.random.fold_in(key, b)
-            if mesh is not None:
-                rgb, rays = render_batch_sharded(
-                    scene, px, py, kb, mesh=mesh, **kw
+            if mesh is None:
+                rgb, rays = render_batch_indexed(
+                    scene, xs_dev, ys_dev, key, jnp.uint32(b),
+                    batch_px=batch_pixels, **kw
                 )
             else:
-                rgb, rays = render_batch(scene, px, py, kb, **kw)
+                sl = slice(b * batch_pixels, (b + 1) * batch_pixels)
+                px = jax.device_put(jnp.asarray(xs[sl]), shard)
+                py = jax.device_put(jnp.asarray(ys[sl]), shard)
+                rgb, rays = render_batch_sharded(
+                    scene, px, py, jax.random.fold_in(key, b), mesh=mesh,
+                    **kw
+                )
             in_flight.append((b, rgb, rays))
             if len(in_flight) > pipeline_depth:
                 drain(in_flight.pop(0))
@@ -354,8 +404,7 @@ def render(
             drain(entry)
     wall_ms = (time.perf_counter() - t0) * 1e3
 
-    linear = out[:n_pixels].reshape(height, width, 3)
-    img = np.asarray(color.encode_u8(jnp.asarray(linear)))
+    img = out[:n_pixels].reshape(height, width, 3)
 
     stats = RenderStats(
         wall_ms=wall_ms,
