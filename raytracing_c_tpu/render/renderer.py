@@ -144,6 +144,46 @@ def render_batch_indexed(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "width", "height", "spp", "max_bounces", "batch_px", "k_group",
+        "method", "texture_mode", "compact", "rr", "nee",
+    ),
+)
+def render_batches_grouped(
+    scene, xs_all, ys_all, key, b0, *, width: int, height: int, spp: int,
+    max_bounces: int, batch_px: int, k_group: int, method: str = "topk",
+    texture_mode: str = "bilinear", compact: bool = False,
+    rr: bool = False, nee: bool = False,
+):
+    """k_group consecutive batches in ONE device program (lax.map over the
+    render_batch_indexed body): each tunnel dispatch costs a host round
+    trip, and 32 single-batch dispatches measured ~2 s of the 6 s bench
+    wall. Returns (rgb_u8 (k, batch_px, 3), rays (k,)). Out-of-range
+    batch indices clamp to the last batch (its pixels just re-render)."""
+    n_batches = xs_all.shape[0] // batch_px
+
+    def one(b):
+        b = jnp.minimum(b, jnp.uint32(n_batches - 1))
+        start = b * batch_px
+        px = jax.lax.dynamic_slice_in_dim(xs_all, start, batch_px)
+        py = jax.lax.dynamic_slice_in_dim(ys_all, start, batch_px)
+        kb = jax.random.fold_in(key, b)
+        jitter, uniforms, nee_uniforms = _draw_uniforms(
+            kb, batch_px * spp, max_bounces, nee, skip_mat=compact
+        )
+        return _batch_core(
+            scene, px, py, jitter, uniforms, nee_uniforms,
+            jax.random.fold_in(kb, 1),
+            width=width, height=height, spp=spp, max_bounces=max_bounces,
+            method=method, texture_mode=texture_mode, compact=compact,
+            rr=rr, nee=nee,
+        )
+
+    return jax.lax.map(one, b0 + jnp.arange(k_group, dtype=jnp.uint32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "width", "height", "spp", "max_bounces", "method", "texture_mode",
         "compact", "rr", "nee",
     ),
@@ -335,22 +375,39 @@ def render(
     # device->host readback of batch b overlaps batch b+1..b+k's compute
     # (over the axon tunnel a blocking readback costs ~100 ms — serializing
     # it per batch would idle the chip for a large fraction of the render)
+    # drains run on a worker thread: device_get releases the GIL during
+    # the transfer, so fetching batch b overlaps dispatching b+1..b+k
+    # (32 serial drains measured ~1 s of host wall at 1080p)
     pipeline_depth = 8
     in_flight: list = []
+    from concurrent.futures import ThreadPoolExecutor
 
-    def drain(entry):
+    drain_pool = ThreadPoolExecutor(max_workers=1)
+
+    def drain_sync(entry):
         nonlocal rays_total
         b, rgb, rays = entry
-        lo = b * batch_pixels
-        hi = min((b + 1) * batch_pixels, n_pixels)
         # ONE device_get for both outputs (separate np.asarray/float calls
         # pay the ~26 ms tunnel round-trip latency twice per batch)
         rgb_h, rays_h = jax.device_get((rgb, rays))
-        if hi > lo:
-            out[perm[lo:hi]] = rgb_h[: hi - lo]
-        rays_total += float(rays_h)
-        if progress is not None:
-            progress(b + 1, n_batches)
+        if rgb_h.ndim == 2:  # single batch
+            rgb_h, rays_h = rgb_h[None], np.asarray([rays_h])
+        for j in range(rgb_h.shape[0]):
+            bj = b + j
+            if bj >= n_batches:
+                continue  # clamped duplicate of the last batch
+            lo = bj * batch_pixels
+            hi = min((bj + 1) * batch_pixels, n_pixels)
+            if hi > lo:
+                out[perm[lo:hi]] = rgb_h[j, : hi - lo]
+            rays_total += float(rays_h[j])
+            if progress is not None:
+                progress(bj + 1, n_batches)
+
+    def drain(entry):
+        in_flight.append(drain_pool.submit(drain_sync, entry))
+        while len(in_flight) > pipeline_depth:
+            in_flight.pop(0).result()
 
     # ONE host->device upload of the full pixel list; batches slice it
     # inside the jitted program (render_batch_indexed)
@@ -377,17 +434,21 @@ def render(
                 (b, color.encode_u8(jnp.asarray(rgb)), rays)
             ),
         )
+        for f in in_flight:
+            f.result()
+        drain_pool.shutdown(wait=True)
     else:
         kw = dict(
             width=width, height=height, spp=spp, max_bounces=max_bounces,
             method=method, texture_mode=texture_mode, compact=compact,
             rr=rr, nee=nee,
         )
-        for b in range(n_batches):
+        k_group = min(4, n_batches) if mesh is None else 1
+        for b in range(0, n_batches, k_group):
             if mesh is None:
-                rgb, rays = render_batch_indexed(
+                rgb, rays = render_batches_grouped(
                     scene, xs_dev, ys_dev, key, jnp.uint32(b),
-                    batch_px=batch_pixels, **kw
+                    batch_px=batch_pixels, k_group=k_group, **kw
                 )
             else:
                 sl = slice(b * batch_pixels, (b + 1) * batch_pixels)
@@ -397,11 +458,10 @@ def render(
                     scene, px, py, jax.random.fold_in(key, b), mesh=mesh,
                     **kw
                 )
-            in_flight.append((b, rgb, rays))
-            if len(in_flight) > pipeline_depth:
-                drain(in_flight.pop(0))
-        for entry in in_flight:
-            drain(entry)
+            drain((b, rgb, rays))
+        for f in in_flight:
+            f.result()
+        drain_pool.shutdown(wait=True)
     wall_ms = (time.perf_counter() - t0) * 1e3
 
     img = out[:n_pixels].reshape(height, width, 3)
