@@ -6,14 +6,25 @@ BASELINE.md). Rays are counted the honest way: every scene intersection
 actually executed (samples x bounces taken, including backface re-casts) —
 see BASELINE.md's measurement note.
 
-The timed region excludes compilation (persistent cache + a warmup run) and
-brackets the render loop the way the reference's timer brackets its render
-phase (driver.c:791-822).
+Timer discipline (mirrors the reference's bracket, driver.c:791-825):
+- the warmup compiles the EXACT program the timed loop runs — same
+  k_group, same batch_px, same full-image pixel-table shape (round 2's
+  regression came from warming a k_group=1 program and timing k_group=4,
+  which put a multi-minute tunnel compile inside the timed region);
+- jax_log_compiles is monitored during the timed region; if any compile
+  fires anyway, the timed run is re-executed once (now warm) and the
+  event is reported on stderr;
+- stderr additionally reports device-only throughput (`device_mrays=`),
+  derived from a profiled dispatch, so device-efficiency progress stays
+  visible through axon-tunnel latency noise.
 """
 
 from __future__ import annotations
 
+import glob
+import gzip
 import json
+import logging
 import os
 import sys
 import time
@@ -31,7 +42,56 @@ WIDTH, HEIGHT = 1920, 1080
 SPP = 16
 BOUNCES = 8
 BATCH_PIXELS = 65536  # x16 spp = 1M rays per device program (bucket-compacted)
+K_GROUP = 4  # batches per dispatch; static — warmup and timed run share it
 BASELINE_MRAYS = 500.0
+
+
+class _CompileCounter(logging.Handler):
+    """Counts 'Finished XLA compilation' records (jax_log_compiles emits
+    them at WARNING on logger jax._src.interpreters.pxla)."""
+
+    def __init__(self):
+        super().__init__(level=logging.WARNING)
+        self.count = 0
+
+    def emit(self, record):
+        if "compilation" in record.getMessage():
+            self.count += 1
+
+
+def _device_seconds_of(fn):
+    """Run fn() under jax.profiler.trace and return summed TPU-device op
+    seconds (the tensorboard converters are broken in this image; parse the
+    Chrome trace directly — same method as tools/profile_batch.py)."""
+    out_dir = "/tmp/bench_trace"
+    os.system(f"rm -rf {out_dir}")
+    with jax.profiler.trace(out_dir):
+        fn()
+    traces = glob.glob(f"{out_dir}/**/*.trace.json.gz", recursive=True)
+    if not traces:
+        return None
+    d = json.load(gzip.open(traces[0]))
+    evs = d.get("traceEvents", [])
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in evs
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    tids = {
+        (e["pid"], e["tid"]): e["args"].get("name", "")
+        for e in evs
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+    }
+    # device busy time = the "XLA Modules" thread's spans (one per executed
+    # program); the "XLA Ops" thread nests/overlaps and double-counts
+    tot_us = sum(
+        e.get("dur", 0)
+        for e in evs
+        if e.get("ph") == "X"
+        and "TPU" in pids.get(e.get("pid"), "")
+        and tids.get((e.get("pid"), e.get("tid"))) == "XLA Modules"
+    )
+    return tot_us / 1e6 if tot_us else None
 
 
 def main() -> int:
@@ -40,18 +100,37 @@ def main() -> int:
 
     scene = load_scene(HELMET, background_path=None, warn=lambda *a: None)
 
-    # warmup: compile the batch program (same static shape as the run)
-    render(
-        scene, WIDTH, HEIGHT, spp=SPP, max_bounces=BOUNCES, seed=1,
-        batch_pixels=BATCH_PIXELS, limit_batches=1,
+    kw = dict(
+        spp=SPP, max_bounces=BOUNCES, batch_pixels=BATCH_PIXELS,
+        k_group=K_GROUP,
     )
 
-    t0 = time.perf_counter()
-    img, stats = render(
-        scene, WIDTH, HEIGHT, spp=SPP, max_bounces=BOUNCES, seed=0,
-        batch_pixels=BATCH_PIXELS,
-    )
-    wall = time.perf_counter() - t0
+    # warmup: ONE grouped dispatch of the identical static program
+    # (limit_batches=K_GROUP keeps k_group=min(K_GROUP, n_batches)=K_GROUP
+    # and the full-size pixel table is uploaded either way)
+    render(scene, WIDTH, HEIGHT, seed=1, limit_batches=K_GROUP, **kw)
+
+    counter = _CompileCounter()
+    logging.getLogger("jax").addHandler(counter)
+    jax.config.update("jax_log_compiles", True)
+    compiles_in_timed = 0
+    try:
+        for attempt in range(2):
+            n0 = counter.count
+            t0 = time.perf_counter()
+            img, stats = render(scene, WIDTH, HEIGHT, seed=0, **kw)
+            wall = time.perf_counter() - t0
+            compiles_in_timed = counter.count - n0
+            if compiles_in_timed == 0:
+                break
+            print(
+                f"# WARNING: {compiles_in_timed} compile(s) fired inside the "
+                f"timed region (attempt {attempt}); re-running warm",
+                file=sys.stderr,
+            )
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        logging.getLogger("jax").removeHandler(counter)
 
     mrays = stats.rays_traced / 1e6 / wall
     result = {
@@ -61,9 +140,28 @@ def main() -> int:
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
     }
     print(json.dumps(result))
+
+    # device-only throughput: profile a warm FULL-frame render (the first
+    # tile-ordered batches alone are sky tiles — unrepresentative)
+    device_mrays = None
+    try:
+        rays_box = {}
+
+        def full_frame():
+            _, s = render(scene, WIDTH, HEIGHT, seed=2, **kw)
+            rays_box["rays"] = s.rays_traced
+
+        dev_s = _device_seconds_of(full_frame)
+        if dev_s:
+            device_mrays = rays_box["rays"] / 1e6 / dev_s
+    except Exception as e:  # profiling must never sink the bench
+        print(f"# device-time profile failed: {e}", file=sys.stderr)
+
     print(
         f"# wall={wall:.2f}s rays={stats.rays_traced:.3e} "
         f"samples={stats.samples:.3e} samples/s={stats.samples / wall:.3e} "
+        f"compiles_in_timed={compiles_in_timed} "
+        f"device_mrays={device_mrays if device_mrays is None else round(device_mrays, 2)} "
         f"device={jax.devices()[0]}",
         file=sys.stderr,
     )

@@ -291,6 +291,7 @@ def render(
     compact: bool | None = None,
     rr: bool = False,
     nee: bool = False,
+    k_group: int | None = None,
 ):
     """Render a full image.
 
@@ -443,7 +444,14 @@ def render(
             method=method, texture_mode=texture_mode, compact=compact,
             rr=rr, nee=nee,
         )
-        k_group = min(4, n_batches) if mesh is None else 1
+        # k_group is part of the compiled program's static shape: a warmup
+        # run MUST use the same value as the timed run (bench.py pins it) —
+        # round 2's official bench regression was a warmup compiled at
+        # k_group=1 while the timed loop ran the never-compiled k_group=4
+        # program, putting a fresh tunnel compile inside the timer.
+        if k_group is None:
+            k_group = min(4, n_batches) if mesh is None else 1
+        k_group = max(1, min(k_group, n_batches)) if mesh is None else 1
         for b in range(0, n_batches, k_group):
             if mesh is None:
                 rgb, rays = render_batches_grouped(
