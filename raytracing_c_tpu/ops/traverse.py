@@ -501,18 +501,18 @@ def intersect_bvh_verified(
 
 
 def intersect_bvh_pallas_verified(
-    origin: Vec3, direction: Vec3, triangles, bvh, active=None, kp: int = 2,
+    origin: Vec3, direction: Vec3, triangles, bvh, active=None, kp: int = 4,
     max_suspects: int | None = None, tables=None,
 ):
     """Exact traversal with the fused Pallas kernel as the fast path.
 
-    Tier 0: pallas kernel, ksel=8 candidates/level, kp leaf groups — the
-    cheapest pass that finds ~90% of hits exactly, with the truncation
-    certificate marking every ray that could be wrong (~10% on helmet
-    camera batches, up to ~15% on full-frame mega-batches — the r/4 cap
-    keeps the overflow fallback out of real renders; its full-width wide
-    pass + 4k-lane brute measured 38 ms per firing at 262k).
-    Tier 1: suspects sort to the front of an r/4 slice and rerun the SAME
+    Tier 0: pallas kernel, ksel=8 candidates/level, kp leaf groups. kp=4
+    (round 3): tools/suspect_probe.py measured helmet bounce-ray suspect
+    rates of 11%% at kp=2 (mostly grazing MISS rays whose top-8 blocks span
+    >2 leaf groups) vs 0.5%% at kp=4 — two extra one-hot MXU group fetches
+    (~0.3 ms/262k) buy a ~20x smaller repair volume, which is what priced
+    the verified path (the r/4-slice wide pass measured 8.3 ms per firing).
+    Tier 1: suspects sort to the front of an r/32 slice and rerun the SAME
     kernel
     wider (ksel=16 candidates/level, kp=16: every top-16 block's group
     fetched) — measured to clear all but ~0.02-0.05%% of the batch.
@@ -532,7 +532,7 @@ def intersect_bvh_pallas_verified(
         suspect = suspect & active
 
     r = origin.shape[0]
-    s_cap = max_suspects or min(max(r // 4, 512), r)
+    s_cap = max_suspects or min(max(r // 32, 512), r)
 
     def wide_exact(o, d, act):
         rw = o.shape[0]
