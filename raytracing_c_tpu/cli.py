@@ -84,6 +84,8 @@ def parse_args(argv: list[str]):
             if a == "--bg":
                 key = "background"
             v = argv[i + 1]
+            if a == "--tonemap" and v not in ("aces", "reinhard"):
+                return None
             cfg[key] = int(v) if a in ("--seed", "--batch-pixels") else v
             i += 2
         elif a == "--brute-force":
@@ -186,22 +188,16 @@ def main(argv: list[str] | None = None) -> int:
         progress=bar,
         rr=cfg["rr"],
         nee=cfg["nee"],
+        tonemap=cfg["tonemap"],
     )
     bar.finish()
 
     if cfg["profile"]:
         jax.profiler.stop_trace()
 
-    if cfg["tonemap"]:
-        import jax.numpy as jnp
-
-        from raytracing_c_tpu.utils import color as color_mod
-
-        f = img.astype(np.float32) / 255.999
-        lin = np.asarray(color_mod.srgb_to_linear(jnp.asarray(f)))
-        tm = color_mod.aces if cfg["tonemap"] == "aces" else color_mod.reinhard
-        img = np.asarray(color_mod.encode_u8(tm(jnp.asarray(lin))))
-
+    # --tonemap is applied on the FLOAT radiance inside the render
+    # (renderer._batch_core), matching the reference's hook placement
+    # before clamp+encode (raytracer.c:701) — not on quantized u8.
     print(f"{stats.wall_ms:.0f}ms")
     if cfg["verbose"]:
         print(f"{stats.samples_per_sec:.0f} samples/second")
@@ -217,8 +213,18 @@ def main(argv: list[str] | None = None) -> int:
 
             try:
                 img = np.asarray(denoise_u8_pallas(jnp.asarray(img)))
-            except Exception as e:  # Mosaic regression -> jnp fallback
-                warn(f"pallas denoiser failed ({e}); using XLA path")
+            except Exception as e:
+                # Hardware-proven path (tools/denoise_probe.py): a failure
+                # here is a REGRESSION, not an expected state. Surface it
+                # loudly (and fatally under RAYTPU_NO_DENOISE_FALLBACK=1,
+                # which CI probes set) instead of silently degrading.
+                import os as _os
+                import sys as _sys
+
+                print(f"ERROR: pallas denoiser failed on TPU ({e!r}); "
+                      f"falling back to the XLA pass", file=_sys.stderr)
+                if _os.environ.get("RAYTPU_NO_DENOISE_FALLBACK"):
+                    raise
                 img = np.asarray(denoise_u8(jnp.asarray(img)))
         else:
             img = np.asarray(denoise_u8(jnp.asarray(img)))

@@ -559,7 +559,7 @@ def intersect_bvh_pallas_verified(
 
 def intersect_scene(
     scene, origin: Vec3, direction: Vec3, active=None, method: str = "topk",
-    k: int = 8, k_leaf: int = 8, k_pallas: int = 2,
+    k: int = 8, k_leaf: int = 8, k_pallas: int | None = None,
 ):
     """ray_scene_hit (raytracer.c:497-503) + the sphere pass: nearest hit
     among BVH triangles and analytic spheres.
@@ -571,17 +571,24 @@ def intersect_scene(
     (exhaustive oracle).
     Returns dict(t, tri, sph, u, v); tri/sph are -1 where not the winner.
     """
+    # k_pallas=None defers to the verified path's tuned default — round 3
+    # shipped a kp regression because a stale k_pallas=2 default HERE
+    # silently overrode the callee's kp=4 (suspects then overflowed the
+    # r/32 cap and the full-width wide pass fired every dense bounce,
+    # +21 ms per 262k intersect in the batch profile)
     if method == "pallas":
+        kw = {} if k_pallas is None else {"kp": k_pallas}
         hit = intersect_bvh_pallas_verified(
             origin, direction, scene.triangles, scene.bvh, active,
-            kp=k_pallas, tables=getattr(scene, "ptables", None),
+            tables=getattr(scene, "ptables", None), **kw,
         )
     elif method == "pallas_fast":
         from raytracing_c_tpu.ops import traverse_pallas as tp
 
         hit = tp.intersect_bvh_pallas(
             origin, direction, scene.triangles, scene.bvh, active,
-            kp=k_pallas, tables=getattr(scene, "ptables", None),
+            kp=(2 if k_pallas is None else k_pallas),
+            tables=getattr(scene, "ptables", None),
         )
         hit.pop("dropped_min")
     elif method == "dfs":

@@ -47,7 +47,7 @@ class RenderStats:
 
 def _batch_core(scene, px, py, jitter, uniforms, nee_uniforms, key, *,
                 width, height, spp, max_bounces, method, texture_mode,
-                compact, rr, nee):
+                compact, rr, nee, tonemap=None):
     """Shared body of the (sharded) batch renderers: raygen -> trace ->
     per-pixel spp mean. Dense trace consumes the pre-drawn `uniforms`
     stream (sharded wrappers hand each shard its slice of the GLOBAL
@@ -80,6 +80,13 @@ def _batch_core(scene, px, py, jitter, uniforms, nee_uniforms, key, *,
         ],
         axis=-1,
     )
+    # optional tonemap on the FLOAT per-pixel radiance — the reference's
+    # (disabled) hook sits before the clamp+encode (raytracer.c:701), not
+    # on quantized u8
+    if tonemap == "aces":
+        rgb = color.aces(rgb)
+    elif tonemap == "reinhard":
+        rgb = color.reinhard(rgb)
     # encode to u8 ON DEVICE: the per-batch readback drops from 12 B to
     # 3 B per pixel (the tunnel moves ~40 MB/s), and the per-pixel encode
     # is identical to encoding the assembled image
@@ -110,14 +117,14 @@ def _draw_uniforms(key, r, max_bounces, nee, skip_mat=False):
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_bounces", "batch_px", "method",
-        "texture_mode", "compact", "rr", "nee",
+        "texture_mode", "compact", "rr", "nee", "tonemap",
     ),
 )
 def render_batch_indexed(
     scene, xs_all, ys_all, key, b, *, width: int, height: int, spp: int,
     max_bounces: int, batch_px: int, method: str = "topk",
     texture_mode: str = "bilinear", compact: bool = False,
-    rr: bool = False, nee: bool = False,
+    rr: bool = False, nee: bool = False, tonemap: str | None = None,
 ):
     """One batch of the single-device render loop, fully device-side: the
     pixel list lives on device whole, the batch slice + per-batch key fold
@@ -137,7 +144,7 @@ def render_batch_indexed(
         jax.random.fold_in(kb, 1),
         width=width, height=height, spp=spp, max_bounces=max_bounces,
         method=method, texture_mode=texture_mode, compact=compact, rr=rr,
-        nee=nee,
+        nee=nee, tonemap=tonemap,
     )
 
 
@@ -145,14 +152,14 @@ def render_batch_indexed(
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_bounces", "batch_px", "k_group",
-        "method", "texture_mode", "compact", "rr", "nee",
+        "method", "texture_mode", "compact", "rr", "nee", "tonemap",
     ),
 )
 def render_batches_grouped(
     scene, xs_all, ys_all, key, b0, *, width: int, height: int, spp: int,
     max_bounces: int, batch_px: int, k_group: int, method: str = "topk",
     texture_mode: str = "bilinear", compact: bool = False,
-    rr: bool = False, nee: bool = False,
+    rr: bool = False, nee: bool = False, tonemap: str | None = None,
 ):
     """k_group consecutive batches in ONE device program (lax.map over the
     render_batch_indexed body): each tunnel dispatch costs a host round
@@ -175,7 +182,7 @@ def render_batches_grouped(
             jax.random.fold_in(kb, 1),
             width=width, height=height, spp=spp, max_bounces=max_bounces,
             method=method, texture_mode=texture_mode, compact=compact,
-            rr=rr, nee=nee,
+            rr=rr, nee=nee, tonemap=tonemap,
         )
 
     return jax.lax.map(one, b0 + jnp.arange(k_group, dtype=jnp.uint32))
@@ -185,13 +192,14 @@ def render_batches_grouped(
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_bounces", "method", "texture_mode",
-        "compact", "rr", "nee",
+        "compact", "rr", "nee", "tonemap",
     ),
 )
 def render_batch(
     scene, px, py, key, *, width: int, height: int, spp: int,
     max_bounces: int, method: str = "topk", texture_mode: str = "bilinear",
     compact: bool = False, rr: bool = False, nee: bool = False,
+    tonemap: str | None = None,
 ):
     """Render one flat batch of pixels.
 
@@ -206,7 +214,7 @@ def render_batch(
         jax.random.fold_in(key, 1),
         width=width, height=height, spp=spp, max_bounces=max_bounces,
         method=method, texture_mode=texture_mode, compact=compact, rr=rr,
-        nee=nee,
+        nee=nee, tonemap=tonemap,
     )
 
 
@@ -214,13 +222,14 @@ def render_batch(
     jax.jit,
     static_argnames=(
         "mesh", "width", "height", "spp", "max_bounces", "method",
-        "texture_mode", "compact", "rr", "nee",
+        "texture_mode", "compact", "rr", "nee", "tonemap",
     ),
 )
 def render_batch_sharded(
     scene, px, py, key, *, mesh, width: int, height: int, spp: int,
     max_bounces: int, method: str = "topk", texture_mode: str = "bilinear",
     compact: bool = False, rr: bool = False, nee: bool = False,
+    tonemap: str | None = None,
 ):
     """render_batch over a device mesh via shard_map (SURVEY §2: rays
     sharded, scene replicated, no collectives in the trace).
@@ -252,7 +261,7 @@ def render_batch_sharded(
             scene, px, py, jitter, uni, nu, ks,
             width=width, height=height, spp=spp, max_bounces=max_bounces,
             method=method, texture_mode=texture_mode, compact=compact,
-            rr=rr, nee=nee,
+            rr=rr, nee=nee, tonemap=tonemap,
         )
         return rgb, jax.lax.psum(rays, axis)
 
@@ -292,6 +301,7 @@ def render(
     rr: bool = False,
     nee: bool = False,
     k_group: int | None = None,
+    tonemap: str | None = None,
 ):
     """Render a full image.
 
@@ -416,6 +426,10 @@ def render(
         xs_dev = jnp.asarray(xs)
         ys_dev = jnp.asarray(ys)
 
+    _tm = {"aces": color.aces, "reinhard": color.reinhard}.get(
+        tonemap, lambda x: x
+    )
+
     t0 = time.perf_counter()
     if engine == "pool" and shard is None:
         from raytracing_c_tpu.render import pool as pool_mod
@@ -432,7 +446,7 @@ def render(
         pool_mod.run_pool_tasks(
             make_task, n_batches,
             lambda b, rgb, rays: drain(
-                (b, color.encode_u8(jnp.asarray(rgb)), rays)
+                (b, color.encode_u8(_tm(jnp.asarray(rgb))), rays)
             ),
         )
         for f in in_flight:
@@ -442,7 +456,7 @@ def render(
         kw = dict(
             width=width, height=height, spp=spp, max_bounces=max_bounces,
             method=method, texture_mode=texture_mode, compact=compact,
-            rr=rr, nee=nee,
+            rr=rr, nee=nee, tonemap=tonemap,
         )
         # k_group is part of the compiled program's static shape: a warmup
         # run MUST use the same value as the timed run (bench.py pins it) —

@@ -54,3 +54,26 @@ def test_nearest_filter_flag():
 def test_load_scene_without_model_ok():
     cfg = parse_args(["--load-scene", "cache.npz"])
     assert cfg is not None and cfg["load_scene"] == "cache.npz"
+
+
+def test_tonemap_operates_on_float_radiance():
+    """--tonemap applies to the float per-pixel radiance BEFORE the u8
+    encode (reference hook placement, raytracer.c:701) — NOT as a lossy
+    u8 decode->tonemap->re-encode. Sky pixels carry a known constant
+    linear radiance, so their tonemapped value is exactly
+    encode_u8(reinhard(bg))."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracing_c_tpu.io.loader import load_scene
+    from raytracing_c_tpu.render.renderer import render
+    from raytracing_c_tpu.utils import color
+
+    scene = load_scene("/root/reference/models/fov_test.obj",
+                       background_path=None, warn=lambda *a: None)
+    img, _ = render(scene, 64, 64, spp=1, max_bounces=2, seed=0,
+                    tonemap="reinhard")
+    bg = jnp.asarray(scene.background.color)
+    expect = np.asarray(color.encode_u8(color.reinhard(bg)))
+    # top-left corner is open sky (see test_golden.test_fov_test_structure)
+    assert (img[0, 0] == expect).all(), (img[0, 0], expect)
