@@ -493,7 +493,7 @@ def build_scene(
     """scene_init (scene.c:416-426): build the BVH and pack the SoA store."""
     from raytracing_c_tpu.models.bvh import build_bvh
 
-    from raytracing_c_tpu.ops.traverse_pallas import build_tables_host
+    from raytracing_c_tpu.ops.traverse_pallas import build_scene_tables
 
     bvh, slot_map, _capacity = build_bvh(mesh)
     triangles = pack_triangles(mesh, slot_map)
@@ -506,7 +506,7 @@ def build_scene(
         background=background,
         camera=camera,
         n_triangles=int(mesh.positions.shape[0]),
-        ptables=build_tables_host(
+        ptables=build_scene_tables(
             bvh.nodes, triangles.leaf_rows, bvh.depth, triangles.attr_rows
         ),
     )

@@ -136,7 +136,7 @@ def load_scene_cache(path: str) -> Scene:
     )
     # ptables are DERIVED (compacted traversal tables) — rebuilt here
     # rather than stored, so the on-disk format is unchanged
-    from raytracing_c_tpu.ops.traverse_pallas import build_tables_host
+    from raytracing_c_tpu.ops.traverse_pallas import build_scene_tables
 
     return Scene(
         triangles=tris,
@@ -147,7 +147,7 @@ def load_scene_cache(path: str) -> Scene:
         background=background,
         camera=camera,
         n_triangles=n_triangles,
-        ptables=build_tables_host(
+        ptables=build_scene_tables(
             bvh.nodes, tris.leaf_rows, depth, tris.attr_rows
         ),
     )

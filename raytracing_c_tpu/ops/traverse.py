@@ -521,12 +521,26 @@ def intersect_bvh_pallas_verified(
     Each tier sits behind lax.cond, so its cost is O(its input), and each
     buffer overflow falls back to running the wider pass on the full
     previous tier — exactness is unconditional (tests/test_traverse_pallas.py).
+
+    Scenes whose tables re-rooted into a ForestTables (depth > 4 or over
+    the VMEM budget) run every tier through the subtree-chained forest
+    traversal — same certificate, same escalation.
     """
     from raytracing_c_tpu.ops import traverse_pallas as tp
 
-    hit = tp.intersect_bvh_pallas(
-        origin, direction, triangles, bvh, active, kp=kp, tables=tables
-    )
+    if isinstance(tables, tp.ForestTables):
+        def tier0(o, d, act, kp_, ksel_):
+            return tp.intersect_bvh_pallas_forest(
+                o, d, tables, act, kp=kp_, ksel=ksel_
+            )
+    else:
+        def tier0(o, d, act, kp_, ksel_):
+            return tp.intersect_bvh_pallas(
+                o, d, triangles, bvh, act, kp=kp_, ksel=ksel_,
+                tables=tables,
+            )
+
+    hit = tier0(origin, direction, active, kp, 8)
     suspect = hit.pop("dropped_min") < hit["t"]
     if active is not None:
         suspect = suspect & active
@@ -537,9 +551,7 @@ def intersect_bvh_pallas_verified(
     def wide_exact(o, d, act):
         rw = o.shape[0]
         s2 = min(max(rw // 64, 128), rw)
-        wide = tp.intersect_bvh_pallas(
-            o, d, triangles, bvh, act, kp=16, ksel=16, tables=tables
-        )
+        wide = tier0(o, d, act, 16, 16)
         still = (wide.pop("dropped_min") < wide["t"]) & act
 
         def brute_tier(args2):
@@ -585,11 +597,18 @@ def intersect_scene(
     elif method == "pallas_fast":
         from raytracing_c_tpu.ops import traverse_pallas as tp
 
-        hit = tp.intersect_bvh_pallas(
-            origin, direction, scene.triangles, scene.bvh, active,
-            kp=(2 if k_pallas is None else k_pallas),
-            tables=getattr(scene, "ptables", None),
-        )
+        tabs = getattr(scene, "ptables", None)
+        if isinstance(tabs, tp.ForestTables):
+            hit = tp.intersect_bvh_pallas_forest(
+                origin, direction, tabs, active,
+                kp=(2 if k_pallas is None else k_pallas),
+            )
+        else:
+            hit = tp.intersect_bvh_pallas(
+                origin, direction, scene.triangles, scene.bvh, active,
+                kp=(2 if k_pallas is None else k_pallas),
+                tables=tabs,
+            )
         hit.pop("dropped_min")
     elif method == "dfs":
         hit = intersect_bvh(origin, direction, scene.triangles, scene.bvh, active)

@@ -453,6 +453,112 @@ def build_tables_host(nodes, leaf_rows, depth, attr_rows=None) -> PallasTables:
     )
 
 
+class ForestTables(struct.PyTreeNode):
+    """Subtree re-rooting for scenes too deep/large for one VMEM-resident
+    table set (VERDICT r2 missing #2: the reference's recursion handles any
+    depth, raytracer.c:443-483; the monolithic kernel gated at depth <= 4).
+
+    The implicit 8-ary tree is split at `root_level`: every nonempty node
+    at that level heads an independent depth-(depth-root_level) subtree
+    whose compacted tables DO fit VMEM. Traversal runs the unchanged
+    kernel once per subtree, threading the running best hit in as the
+    per-ray `t_max` pruning bound; certificates and hits merge exactly
+    (see intersect_bvh_pallas_forest). One-hot fetch cost scales with
+    table WIDTH, so the summed fetch cost over subtrees equals a
+    monolithic kernel's — re-rooting adds only the per-call selection
+    machinery and dispatches.
+
+    subtrees: tuple of PallasTables (one per KEPT nonempty subtree);
+    bases: python tuple of global triangle-id offsets (k * 8^(depth-1-
+    root_level) * 64 for subtree k)."""
+
+    subtrees: Any
+    bases: Any = struct.field(pytree_node=False)
+    root_level: int = struct.field(pytree_node=False)
+    depth: int = struct.field(pytree_node=False)
+
+    @property
+    def attr(self):
+        return self.subtrees[0].attr if self.subtrees else None
+
+
+def build_forest_host(nodes, leaf_rows, depth, attr_rows=None,
+                      root_level: int = 1) -> ForestTables:
+    """Slice the implicit tree into 8^root_level subtrees and build each
+    subtree's compacted tables (build_tables_host). Empty subtrees (their
+    root row carries no box data — real boxes are +/-EPSILON padded so
+    never all-zero, scene.c:177-188) are dropped entirely."""
+    nodes = np.asarray(nodes, np.float32)
+    leaf_rows = np.asarray(leaf_rows, np.float32)
+    sub_depth = depth - root_level
+    assert 1 <= sub_depth <= 4
+    n_sub = W**root_level
+    g_sub = W ** (sub_depth - 1)  # leaf groups per subtree
+
+    subtrees, bases = [], []
+    for k in range(n_sub):
+        root_row = nodes[_level_offset(root_level) + k]
+        if np.abs(root_row[: 6 * W]).max() == 0:
+            continue
+        sub_nodes = np.concatenate(
+            [
+                nodes[
+                    _level_offset(root_level + l) + k * W**l
+                    : _level_offset(root_level + l) + (k + 1) * W**l
+                ]
+                for l in range(sub_depth)
+            ],
+            axis=0,
+        )
+        sub_leaf = leaf_rows[k * g_sub * W : (k + 1) * g_sub * W]
+        sub_attr = None
+        if attr_rows is not None:
+            sub_attr = np.asarray(attr_rows)[
+                k * g_sub * 64 : (k + 1) * g_sub * 64
+            ]
+        subtrees.append(
+            build_tables_host(sub_nodes, sub_leaf, sub_depth, sub_attr)
+        )
+        bases.append(k * g_sub * 64)
+
+    return ForestTables(
+        subtrees=tuple(subtrees), bases=tuple(bases),
+        root_level=root_level, depth=depth,
+    )
+
+
+def build_scene_tables(nodes, leaf_rows, depth, attr_rows=None,
+                       budget_bytes: int = 8 * 2**20):
+    """Pick the traversal table form for a scene: monolithic PallasTables
+    when depth <= 4 and the tables fit the VMEM budget, else the smallest
+    re-rooting whose per-subtree tables fit (always exists: sub_depth=1
+    tables are one leaf group). Scene builders and the cache loader call
+    this (models/scene.py, models/serialization.py)."""
+    n_groups = max(np.asarray(leaf_rows).shape[0] // W, 1)
+    if depth <= 4 and _tables_bytes(n_groups, depth) < budget_bytes:
+        return build_tables_host(nodes, leaf_rows, depth, attr_rows)
+    for root_level in range(1, depth):
+        sub_depth = depth - root_level
+        if sub_depth > 4:
+            continue
+        g_sub = W ** (sub_depth - 1)
+        if _tables_bytes(g_sub, sub_depth) < budget_bytes:
+            return build_forest_host(
+                nodes, leaf_rows, depth, attr_rows, root_level
+            )
+    raise AssertionError("unreachable: sub_depth=1 always fits")
+
+
+def _tables_bytes(n_groups: int, depth: int) -> int:
+    """Worst-case (uncompacted) VMEM bytes for one subtree's leaf + attr +
+    node tables — attr is resident in the same kernel's VMEM for
+    fetch_attrs, so it counts against the budget too."""
+    leaf = _round_up(n_groups) * 9 * W * W * 4
+    attr = _round_up(n_groups) * 25 * W * W * 4
+    node = sum(W**l for l in range(depth)) * NROWS * 4
+    return leaf + attr + node
+
+
 def build_tables(triangles, bvh) -> PallasTables:
     """Uncompacted fallback build from (possibly traced) device arrays —
     used when a caller has no precomputed Scene.ptables. Compact ids are
@@ -493,13 +599,12 @@ def build_tables(triangles, bvh) -> PallasTables:
 
 
 def scene_fits(triangles, bvh, budget_bytes: int = 8 * 2**20) -> bool:
-    """Whether this scene can take the Pallas path: tree depth <= 4 (the
-    13-bit id packing bounds leaf-block rel ids to 8192) and the
+    """Whether this scene fits ONE monolithic table set: tree depth <= 4
+    (the 13-bit id packing bounds leaf-block rel ids to 8192) and the
     (worst-case uncompacted) tables fit a VMEM budget that leaves ~8 MB
-    for the per-tile working set — which is scene-size independent in the
-    compacted kernel (candidate buffers scale with ksel/kp, fetches are
-    per-column). Deeper scenes (>262k triangles) fall back to the XLA
-    top-k path (roadmap: stream leaf super-rows from HBM)."""
+    for the per-tile working set. Scenes beyond this take the Pallas path
+    anyway via subtree re-rooting (build_scene_tables -> ForestTables);
+    this predicate only decides monolithic vs forest."""
     if bvh.depth > 4:
         return False
     n_groups = max(triangles.leaf_rows.shape[0] // W, 1)
@@ -523,15 +628,15 @@ def intersect_bvh_pallas(
     beyond it are skipped AND excluded from the certificate (only hits
     strictly closer than t_max can be found/certified)."""
     r = origin.shape[0]
-    depth = bvh.depth
     kp = min(kp, max(W, ksel))
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     if tile is None:
         tile = R_TILE
 
-    if tables is None or tables.depth != depth:
+    if tables is None:
         tables = build_tables(triangles, bvh)
+    depth = tables.depth
 
     r_pad = ((r + tile - 1) // tile) * tile
     if active is None:
@@ -575,6 +680,51 @@ def intersect_bvh_pallas(
         "tri": jnp.where(hit, out[3, :r].astype(jnp.int32), -1),
         "dropped_min": out[4, :r],
     }
+
+
+def intersect_bvh_pallas_forest(
+    origin: Vec3, direction: Vec3, forest: ForestTables, active=None,
+    kp: int = 2, ksel: int = 8, t_max=None, interpret: bool | None = None,
+):
+    """Run the fused kernel once per subtree, threading the running best
+    hit in as each call's per-ray t_max bound. Exactness of the merge:
+
+    - a subtree candidate pruned by t_max entered at >= t_max >= final
+      best t, so it cannot contain a STRICTLY closer hit — dropping it
+      from the certificate is sound (same argument as the monolithic
+      kernel's t_max contract);
+    - equal-t ties resolve to the LOWEST triangle id (the oracle rule):
+      subtree k's ids are all lower than subtree k+1's, later subtrees
+      prune at t_max = running best (strictly-closer only), and the merge
+      below takes later only when strictly nearer.
+
+    Returns the same dict as intersect_bvh_pallas, with global tri ids.
+    """
+    r = origin.shape[0]
+    if t_max is None:
+        t_max = jnp.full((r,), INF, jnp.float32)
+    best = None
+    for st, base in zip(forest.subtrees, forest.bases):
+        bound = t_max if best is None else jnp.minimum(t_max, best["t"])
+        hit = intersect_bvh_pallas(
+            origin, direction, None, None, active, kp=kp, ksel=ksel,
+            t_max=bound, tables=st, interpret=interpret,
+        )
+        hit["tri"] = jnp.where(hit["tri"] >= 0, hit["tri"] + base, -1)
+        if best is None:
+            best = hit
+        else:
+            wins = hit["t"] < best["t"]
+            best = {
+                "t": jnp.where(wins, hit["t"], best["t"]),
+                "u": jnp.where(wins, hit["u"], best["u"]),
+                "v": jnp.where(wins, hit["v"], best["v"]),
+                "tri": jnp.where(wins, hit["tri"], best["tri"]),
+                "dropped_min": jnp.minimum(
+                    hit["dropped_min"], best["dropped_min"]
+                ),
+            }
+    return best
 
 
 def _attr_kernel(depth, hits_ref, gmap_ref, attr_ref, out_ref):
@@ -684,3 +834,29 @@ def fetch_attrs(tables: PallasTables, tri, u, v, interpret: bool | None = None):
         "uv_v": o[13],
         "mat_id": o[14].astype(jnp.int32),
     }
+
+
+def fetch_attrs_forest(forest: ForestTables, tri, u, v,
+                       interpret: bool | None = None):
+    """Forest form of fetch_attrs: one attr-kernel launch per subtree with
+    LOCAL triangle ids (clamped for lanes belonging elsewhere), combined
+    by ownership masks. Summed one-hot cost equals a monolithic table's;
+    only the per-launch overhead multiplies."""
+    out = None
+    for st, base in zip(forest.subtrees, forest.bases):
+        span = W ** (st.depth - 1) * 64  # canonical triangles per subtree
+        mine = (tri >= base) & (tri < base + span)
+        local = jnp.where(mine, tri - base, 0)
+        g = fetch_attrs(st, local, u, v, interpret=interpret)
+        if out is None:
+            out = g
+        else:
+            out = {
+                k: (
+                    Vec3.where(mine, g[k], out[k])
+                    if isinstance(g[k], Vec3)
+                    else jnp.where(mine, g[k], out[k])
+                )
+                for k in g
+            }
+    return out

@@ -48,7 +48,12 @@ def _gather_hit_geometry(scene, origin: Vec3, direction: Vec3, hit,
             and ptables.attr is not None:
         from raytracing_c_tpu.ops import traverse_pallas as tp
 
-        g = tp.fetch_attrs(ptables, hit["tri"], hit["u"], hit["v"])
+        if isinstance(ptables, tp.ForestTables):
+            g = tp.fetch_attrs_forest(
+                ptables, hit["tri"], hit["u"], hit["v"]
+            )
+        else:
+            g = tp.fetch_attrs(ptables, hit["tri"], hit["u"], hit["v"])
         normal, ng = g["normal"], g["ng"]
         tangent, bitangent = g["tangent"], g["bitangent"]
         uv_u, uv_v, mat_id = g["uv_u"], g["uv_v"], g["mat_id"]

@@ -328,15 +328,15 @@ def render(
             # tiny scenes: the reference's own exhaustive oracle path
             method = "brute"
         else:
-            from raytracing_c_tpu.ops import traverse_pallas as tp
-
             # the fused Pallas kernel is the production path on real
-            # devices; CPU (tests / dryrun) keeps the XLA top-k path since
-            # pallas interpret mode is orders of magnitude slower
+            # devices — monolithic tables or a re-rooted forest, the
+            # builder always provides ptables; CPU (tests / dryrun) keeps
+            # the XLA top-k path since pallas interpret mode is orders of
+            # magnitude slower
             on_cpu = jax.devices()[0].platform == "cpu"
             method = (
                 "pallas"
-                if not on_cpu and tp.scene_fits(scene.triangles, scene.bvh)
+                if not on_cpu and getattr(scene, "ptables", None) is not None
                 else "topk"
             )
 
