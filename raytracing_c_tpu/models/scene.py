@@ -236,6 +236,12 @@ class MaterialTable(struct.PyTreeNode):
         ).with_rows()
 
 
+#: tiled-page geometry: 13x8 logical texels per tile, stored with a
+#: one-texel right/bottom apron as 14x9 = 126 of a 128-lane page row
+TILE_W = 13
+TILE_H = 8
+
+
 class TextureAtlas(struct.PyTreeNode):
     """All textures packed into three flat u8 channel planes.
 
@@ -256,6 +262,17 @@ class TextureAtlas(struct.PyTreeNode):
     #: a tap fetches one page row (fast) and extracts its lane with a dense
     #: one-hot reduce instead of a per-lane gather
     pages: Any = None
+    #: (N2, 128) u32 — the same texels re-packed as 13x8-texel TILES with a
+    #: one-texel clamp apron (14x9 = 126 lanes per 512-byte page row), so a
+    #: whole 2x2 bilinear footprint lives in ONE gathered page: a bilinear
+    #: tap costs 1 row gather + 4 lane extracts instead of 4 gathers
+    #: (measured: the 16 flat-page gathers of the 4-texture ubershader were
+    #: ~10 ms of a 25 ms full-width bounce, tools/stage_probe.py). The
+    #: apron replicates edge texels, which IS the reference's bilinear
+    #: edge-clamp rule (driver.c:66-67).
+    tpages: Any = None
+    tile_row: Any = None  # (K,) i32 — first tile page row of texture k
+    tiles_x: Any = None  # (K,) i32 — tile columns of texture k
 
     def with_pages(self) -> "TextureAtlas":
         r = np.asarray(self.tex_r).astype(np.uint32)
@@ -265,7 +282,50 @@ class TextureAtlas(struct.PyTreeNode):
         t = len(packed)
         pages = np.zeros((max((t + 127) // 128, 1), 128), np.uint32)
         pages.reshape(-1)[:t] = packed
-        return self.replace(pages=jnp.asarray(pages))
+        return self.replace(pages=jnp.asarray(pages)).with_tiles()
+
+    def with_tiles(self) -> "TextureAtlas":
+        """Derive the tiled pages (host numpy; cache loads call this —
+        tpages are derived, never stored, so the disk format is
+        unchanged)."""
+        r = np.asarray(self.tex_r).astype(np.uint32)
+        g = np.asarray(self.tex_g).astype(np.uint32)
+        b = np.asarray(self.tex_b).astype(np.uint32)
+        packed = (r << 16) | (g << 8) | b
+        offs = np.asarray(self.offset)
+        ws = np.asarray(self.width)
+        hs = np.asarray(self.height)
+
+        rows, tile_row, tiles_x = [], [], []
+        for off, w, h in zip(offs, ws, hs):
+            img = packed[off : off + w * h].reshape(h, w)
+            tx = max((w + TILE_W - 1) // TILE_W, 1)
+            ty = max((h + TILE_H - 1) // TILE_H, 1)
+            ridx = np.minimum(
+                np.arange(ty)[:, None] * TILE_H + np.arange(TILE_H + 1),
+                h - 1,
+            )  # (ty, 9): 8 rows + clamp apron
+            cidx = np.minimum(
+                np.arange(tx)[:, None] * TILE_W + np.arange(TILE_W + 1),
+                w - 1,
+            )  # (tx, 14): 13 cols + clamp apron
+            tiles = img[
+                ridx[:, None, :, None], cidx[None, :, None, :]
+            ]  # (ty, tx, 9, 14)
+            flat = tiles.reshape(ty * tx, (TILE_H + 1) * (TILE_W + 1))
+            tile_row.append(sum(r_.shape[0] for r_ in rows))
+            tiles_x.append(tx)
+            rows.append(
+                np.pad(flat, ((0, 0), (0, 128 - flat.shape[1])))
+            )
+        tpages = np.concatenate(rows, axis=0) if rows else np.zeros(
+            (1, 128), np.uint32
+        )
+        return self.replace(
+            tpages=jnp.asarray(tpages),
+            tile_row=jnp.asarray(np.array(tile_row, np.int32)),
+            tiles_x=jnp.asarray(np.array(tiles_x, np.int32)),
+        )
 
     @staticmethod
     def empty() -> "TextureAtlas":
@@ -349,6 +409,10 @@ class Scene(struct.PyTreeNode):
     #: compacted Pallas traversal tables (ops/traverse_pallas.PallasTables) —
     #: DERIVED data, rebuilt from nodes/leaf_rows on load, never serialized
     ptables: Any = None
+    #: env-light importance-sampling tables (ops/env_light.EnvLight) for
+    #: NEE/MIS over an equirect background — DERIVED from the background
+    #: texture on build/load, never serialized; None for constant skies
+    env_light: Any = None
 
 
 # ---------------------------------------------------------------------------
@@ -497,6 +561,11 @@ def build_scene(
 
     bvh, slot_map, _capacity = build_bvh(mesh)
     triangles = pack_triangles(mesh, slot_map)
+    env = None
+    if background.kind == BG_EQUIRECT and int(background.tex_id) >= 0:
+        from raytracing_c_tpu.ops.env_light import build_env_light
+
+        env = build_env_light(atlas, int(background.tex_id))
     return Scene(
         triangles=triangles,
         bvh=bvh,
@@ -509,4 +578,5 @@ def build_scene(
         ptables=build_scene_tables(
             bvh.nodes, triangles.leaf_rows, bvh.depth, triangles.attr_rows
         ),
+        env_light=env,
     )

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raytracing_c_tpu.models.scene import (
+    BG_EQUIRECT,
     BVH,
     Background,
     Camera,
@@ -120,7 +121,10 @@ def load_scene_cache(path: str) -> Scene:
         **{f: _load_vec3(z, f"mat_{f}") for f in _MAT_VEC},
         **{f: jnp.asarray(z[f"mat_{f}"]) for f in _MAT_SCALAR},
     )
-    atlas = TextureAtlas(**{f: jnp.asarray(z[f"atlas_{f}"]) for f in _ATLAS})
+    # tiled pages are DERIVED from the stored flat texels (format unchanged)
+    atlas = TextureAtlas(
+        **{f: jnp.asarray(z[f"atlas_{f}"]) for f in _ATLAS}
+    ).with_tiles()
     spheres = Spheres(
         center=_load_vec3(z, "sph_center"),
         radius=jnp.asarray(z["sph_radius"]),
@@ -138,6 +142,11 @@ def load_scene_cache(path: str) -> Scene:
     # rather than stored, so the on-disk format is unchanged
     from raytracing_c_tpu.ops.traverse_pallas import build_scene_tables
 
+    env = None
+    if bg_kind == BG_EQUIRECT and int(bg_tex) >= 0:
+        from raytracing_c_tpu.ops.env_light import build_env_light
+
+        env = build_env_light(atlas, int(bg_tex))
     return Scene(
         triangles=tris,
         bvh=bvh,
@@ -150,4 +159,5 @@ def load_scene_cache(path: str) -> Scene:
         ptables=build_scene_tables(
             bvh.nodes, tris.leaf_rows, depth, tris.attr_rows
         ),
+        env_light=env,
     )

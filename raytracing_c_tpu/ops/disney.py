@@ -429,15 +429,24 @@ def shade(scene, direction: Vec3, normal: Vec3, normal_geo: Vec3,
     if nee:
         from raytracing_c_tpu.ops import background as bg_ops
 
-        wd = sample_uniform_sphere(rand2[0], rand2[1])  # world
+        env = getattr(scene, "env_light", None)
+        if env is not None:
+            # luminance-CDF importance sample (alias table) + exact pdf
+            from raytracing_c_tpu.ops import env_light as el
+
+            wd, pl = el.sample(env, rand2[0], rand2[1], rand2[2])
+        else:
+            wd = sample_uniform_sphere(rand2[0], rand2[1])  # world
+            pl = UNIFORM_SPHERE_PDF
         wd_t = Vec3(wd.dot(t_basis), wd.dot(b_basis), wd.dot(n))
         f_nol, pdf_ev = eval_disney_brdf(
             base_color, rough, metal, sheen, sheen_tint, in_dir, wd_t
         )
         big_l = bg_ops.eval_background(scene, wd)
-        pl = UNIFORM_SPHERE_PDF
         w_nee = (pl * pl) / (pl * pl + pdf_ev * pdf_ev)
-        partial = big_l * f_nol * jnp.where(is_debug, 0.0, w_nee / pl)
+        ok_l = pl > 0.0
+        inv_pl = jnp.where(ok_l, 1.0 / jnp.where(ok_l, pl, 1.0), 0.0)
+        partial = big_l * f_nol * jnp.where(is_debug, 0.0, w_nee * inv_pl)
         # deterministic mixture pdf of the CHOSEN scatter direction
         _, pdf_out = eval_disney_brdf(
             base_color, rough, metal, sheen, sheen_tint, in_dir, out_t

@@ -51,11 +51,45 @@ def _fetch(atlas, off, w, x, y) -> Vec3:
     )
 
 
+def _tile_page(atlas, tid, x0, y0):
+    """Gather the ONE tiled page whose 13x8 tile contains texel (x0, y0),
+    plus the in-tile lane of that texel. The page's one-texel apron holds
+    the +1 neighbors (pre-clamped at pack time, which IS the reference's
+    bilinear edge clamp, driver.c:66-67), so a whole 2x2 footprint reads
+    from this single 512-byte row."""
+    from raytracing_c_tpu.models.scene import TILE_H, TILE_W
+
+    tx = x0 // TILE_W
+    ty = y0 // TILE_H
+    row = atlas.tile_row[tid] + ty * atlas.tiles_x[tid] + tx
+    page = atlas.tpages[row]  # (R, 128) u32 row gather
+    lane = (y0 - ty * TILE_H) * (TILE_W + 1) + (x0 - tx * TILE_W)
+    return page, lane
+
+
+def _lane_rgb(page, lane) -> Vec3:
+    """Extract lane `lane` of each (128,) page row as Vec3 rgb in [0, 1]:
+    dense one-hot reduce, no per-lane gather."""
+    import jax
+
+    one_hot = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == lane[:, None]
+    )
+    packed = jnp.where(one_hot, page, jnp.uint32(0)).sum(
+        axis=1, dtype=jnp.uint32
+    )
+    s = jnp.float32(1.0 / 255.999)
+    return Vec3(
+        x=((packed >> 16) & 0xFF).astype(jnp.float32) * s,
+        y=((packed >> 8) & 0xFF).astype(jnp.float32) * s,
+        z=(packed & 0xFF).astype(jnp.float32) * s,
+    )
+
+
 def sample_nearest(atlas, tex_id, uv_u, uv_v) -> Vec3:
     """sample_texture_nearest (driver.c:31-47). tex_id: (R,) i32 (clamped to
     0 for 'no texture' lanes; callers select on tex_id >= 0)."""
     tid = jnp.maximum(tex_id, 0)
-    off = atlas.offset[tid]
     w = atlas.width[tid]
     h = atlas.height[tid]
 
@@ -63,14 +97,18 @@ def sample_nearest(atlas, tex_id, uv_u, uv_v) -> Vec3:
     v = _wrap01(uv_v)
     x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-    return _fetch(atlas, off, w, x, y)
+    if atlas.tpages is None:  # flat-page fallback (pre-tiling atlases)
+        return _fetch(atlas, atlas.offset[tid], w, x, y)
+    page, lane = _tile_page(atlas, tid, x, y)
+    return _lane_rgb(page, lane)
 
 
 def sample_bilinear(atlas, tex_id, uv_u, uv_v) -> Vec3:
     """sample_texture_bilinear (driver.c:49-93); the pipeline default
     (driver.c:14)."""
+    from raytracing_c_tpu.models.scene import TILE_W
+
     tid = jnp.maximum(tex_id, 0)
-    off = atlas.offset[tid]
     w = atlas.width[tid]
     h = atlas.height[tid]
 
@@ -80,14 +118,21 @@ def sample_bilinear(atlas, tex_id, uv_u, uv_v) -> Vec3:
     y0 = jnp.clip(py.astype(jnp.int32), 0, h - 1)
     a = px - x0
     b = py - y0
-    # edge clamp of the +1 texel (driver.c:66-67)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
 
-    c00 = _fetch(atlas, off, w, x0, y0)
-    c10 = _fetch(atlas, off, w, x1, y0)
-    c01 = _fetch(atlas, off, w, x0, y1)
-    c11 = _fetch(atlas, off, w, x1, y1)
+    if atlas.tpages is None:  # flat-page fallback (pre-tiling atlases)
+        off = atlas.offset[tid]
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        c00 = _fetch(atlas, off, w, x0, y0)
+        c10 = _fetch(atlas, off, w, x1, y0)
+        c01 = _fetch(atlas, off, w, x0, y1)
+        c11 = _fetch(atlas, off, w, x1, y1)
+    else:
+        page, lane = _tile_page(atlas, tid, x0, y0)
+        c00 = _lane_rgb(page, lane)
+        c10 = _lane_rgb(page, lane + 1)
+        c01 = _lane_rgb(page, lane + (TILE_W + 1))
+        c11 = _lane_rgb(page, lane + (TILE_W + 2))
 
     c0 = c00.lerp(c10, a)
     c1 = c01.lerp(c11, a)

@@ -178,7 +178,13 @@ def bounce_step(scene, st, rand4, method: str = "topk",
     bg = bg_ops.eval_background(scene, d)
     if nee:
         pp = st["prev_pdf"]
-        pl = disney.UNIFORM_SPHERE_PDF
+        env = getattr(scene, "env_light", None)
+        if env is not None:
+            from raytracing_c_tpu.ops import env_light as el
+
+            pl = el.eval_pdf(env, d)  # per-direction light pdf
+        else:
+            pl = disney.UNIFORM_SPHERE_PDF
         w_brdf = jnp.where(
             jnp.isfinite(pp), (pp * pp) / (pp * pp + pl * pl), 1.0
         )
@@ -403,15 +409,17 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
                 "rays": st["rays"],
                 "prev_pdf": st["prev_pdf"][:w],
             }
+            nu = 7 if nee else 6  # +1 channel for the env-CDF jitter
+
             def draw(s):
                 k = jax.random.fold_in(jax.random.fold_in(key, s), i)
-                return jax.random.uniform(k, (6,), jnp.float32)
+                return jax.random.uniform(k, (nu,), jnp.float32)
 
-            u6 = jax.vmap(draw, out_axes=1)(st["slot"][:w])  # (6, w)
+            u6 = jax.vmap(draw, out_axes=1)(st["slot"][:w])  # (nu, w)
             out = bounce_step(
                 scene, head, u6[:4], method, texture_mode,
                 rr=rr, bounce_i=i, nee=nee,
-                rand2=u6[4:6] if nee else None,
+                rand2=u6[4:nu] if nee else None,
             )
             new = dict(st)
             for name in ("origin", "direction", "throughput", "radiance"):

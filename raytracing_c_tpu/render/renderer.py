@@ -107,8 +107,10 @@ def _draw_uniforms(key, r, max_bounces, nee, skip_mat=False):
     if nee and not skip_mat:
         # separate key so the base stream (and nee-off goldens) is unchanged
         k_nee = jax.random.fold_in(key, 7919)
+        # 3 channels: (select+accept, jitter-x, jitter-y) for the env-CDF
+        # alias sampler; the uniform-sphere fallback uses the first two
         nee_uniforms = jax.random.uniform(
-            k_nee, (max_bounces, 2, r), jnp.float32
+            k_nee, (max_bounces, 3, r), jnp.float32
         )
     return jitter, uniforms, nee_uniforms
 
