@@ -531,13 +531,18 @@ def intersect_bvh_pallas_verified(
     if isinstance(tables, tp.ForestTables):
         def tier0(o, d, act, kp_, ksel_):
             return tp.intersect_bvh_pallas_forest(
-                o, d, tables, act, kp=kp_, ksel=ksel_
+                o, d, tables, act, kp=kp_, ksel=ksel_,
+                tile=256 if ksel_ > 8 else None,
             )
     else:
         def tier0(o, d, act, kp_, ksel_):
+            # wide (ksel=16/kp=16) passes halve the ray tile: their
+            # per-tile scratch at the exact-fetch precision (16 HIGHEST
+            # leaf fetches + 16-wide candidate buffers) overflows the
+            # 16 MB scoped-VMEM limit at tile=1024 (measured on tower)
             return tp.intersect_bvh_pallas(
                 o, d, triangles, bvh, act, kp=kp_, ksel=ksel_,
-                tables=tables,
+                tables=tables, tile=256 if ksel_ > 8 else None,
             )
 
     hit = tier0(origin, direction, active, kp, 8)

@@ -91,11 +91,18 @@ NROWS = 56
 #: rays per grid step; tables are VMEM-resident across steps
 R_TILE = 1024
 
-#: precision for the exact f32 leaf fetch. Default (None) uses the TPU's
-#: 3-pass f32 matmul which reconstructs one-hot selections exactly; flip to
-#: jax.lax.Precision.HIGHEST if a platform's default ever fails the
-#: tools/tpu_parity.py bit-exactness check.
-LEAF_PRECISION = None
+#: precision for EVERY in-kernel one-hot fetch. Round 3 hardware finding
+#: (tools/tower_exact.py -> /tmp/ray_hw2 probe): the platform DEFAULT
+#: matmul is bf16-grade (measured 3.7e-3 relative error reconstructing a
+#: stored leaf row), which (a) perturbs slab/MT inputs enough to flip a
+#: sliver-triangle hit to a miss (t 2.429 -> 3.155 on a real tower ray,
+#: uncertified), and (b) ROUNDS the integer ids >256 riding the node rows
+#: (child compact columns, lanes 48..55) and gmap — silently fetching the
+#: wrong columns on any table wider than 256. HIGHEST reconstructs f32
+#: bit-exactly (verified on-chip: max abs diff 0.0); exactness is an
+#: invariant, so this is not tunable back to None without a probe showing
+#: the platform default became exact.
+LEAF_PRECISION = jax.lax.Precision.HIGHEST
 
 
 class PallasTables(struct.PyTreeNode):
@@ -158,9 +165,14 @@ def _slab48(rows, o, inv, tmax):
     return intersect.aabb_slab(o, inv, bmin, bmax, EPSILON, tmax)
 
 
-def _fetch(table_ref, ids, precision=None):
+def _fetch(table_ref, ids, precision="unset"):
     """One-hot matmul row fetch: table (Wc, G) x onehot(G, R) -> (Wc, R).
-    Accumulation of 1.0*x plus zeros reconstructs stored f32 exactly."""
+    Runs at LEAF_PRECISION by default: one-hot reconstruction is only
+    exact when the matmul is full-f32 (see LEAF_PRECISION note — the
+    platform default is bf16-grade and corrupts both coordinates and the
+    integer ids stored in node rows)."""
+    if precision == "unset":
+        precision = LEAF_PRECISION
     g = table_ref.shape[1]
     r = ids.shape[-1]
     oh = (_iota((g, r), 0) == ids).astype(table_ref.dtype)
@@ -685,6 +697,7 @@ def intersect_bvh_pallas(
 def intersect_bvh_pallas_forest(
     origin: Vec3, direction: Vec3, forest: ForestTables, active=None,
     kp: int = 2, ksel: int = 8, t_max=None, interpret: bool | None = None,
+    tile: int | None = None,
 ):
     """Run the fused kernel once per subtree, threading the running best
     hit in as each call's per-ray t_max bound. Exactness of the merge:
@@ -708,7 +721,7 @@ def intersect_bvh_pallas_forest(
         bound = t_max if best is None else jnp.minimum(t_max, best["t"])
         hit = intersect_bvh_pallas(
             origin, direction, None, None, active, kp=kp, ksel=ksel,
-            t_max=bound, tables=st, interpret=interpret,
+            t_max=bound, tables=st, interpret=interpret, tile=tile,
         )
         hit["tri"] = jnp.where(hit["tri"] >= 0, hit["tri"] + base, -1)
         if best is None:
@@ -752,9 +765,12 @@ def _attr_kernel(depth, hits_ref, gmap_ref, attr_ref, out_ref):
         oh_can = (_iota((gmap_ref.shape[1], r), 0) == g_can).astype(
             jnp.float32
         )
+        # HIGHEST: gmap holds integer column ids > 256, which the
+        # platform-default bf16 matmul ROUNDS (see LEAF_PRECISION)
         cid = jax.lax.dot_general(
             gmap_ref[0:1, :], oh_can, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(jnp.int32)
     else:
         cid = jnp.zeros((1, r), jnp.int32)

@@ -73,7 +73,12 @@ def main() -> int:
               f"UNEXPLAINED {bad.sum()}")
         if bad.sum():
             i = np.nonzero(bad)[0][:5]
-            print("  e.g.", got["t"][i], "want", want["t"][i])
+            print("  idx", i, "got", got["t"][i], "want", want["t"][i])
+            for j in i:
+                print(f"  ray {j}: o=({float(o.x[j]):.9g},"
+                      f"{float(o.y[j]):.9g},{float(o.z[j]):.9g}) "
+                      f"d=({float(d.x[j]):.9g},{float(d.y[j]):.9g},"
+                      f"{float(d.z[j]):.9g}) want_tri={want['tri'][j]}")
             rc = 1
     return rc
 
