@@ -34,9 +34,14 @@ still flow through selection for triangle-id reconstruction and the
 certificate; compact ids are used only to address fetches.
 
 Soundness:
-- all tables are fetched in full f32 (the MXU's f32 path runs at the same
-  MAC rate as bf16 on this chip — tools/mxu_probe.py — so there is nothing
-  to trade), and a one-hot selection reconstructs stored values exactly;
+- every one-hot fetch reconstructs the stored f32 values BIT-EXACTLY:
+  fetched tables are stored as exact 3-plane truncated-bf16 splits
+  (x = hi + mid + lo, 8+8+8 mantissa bits — see _split3/_fetch_split),
+  so a single-pass bf16 matmul per plane reconstructs f32 exactly. The
+  platform-default matmul on raw f32 tables is bf16-grade and corrupts
+  both coordinates and integer ids (the round-3 hardware bug, see
+  LEAF_PRECISION); Precision.HIGHEST is exact but costs 6 passes vs the
+  split's 3;
 - every candidate a selection drops contributes its EXACT f32 entry
   distance to `dropped_min` (via the in-place mask `_extract` leaves
   behind) — the same exactness certificate as
@@ -91,17 +96,21 @@ NROWS = 56
 #: rays per grid step; tables are VMEM-resident across steps
 R_TILE = 1024
 
-#: precision for EVERY in-kernel one-hot fetch. Round 3 hardware finding
-#: (tools/tower_exact.py -> /tmp/ray_hw2 probe): the platform DEFAULT
-#: matmul is bf16-grade (measured 3.7e-3 relative error reconstructing a
-#: stored leaf row), which (a) perturbs slab/MT inputs enough to flip a
-#: sliver-triangle hit to a miss (t 2.429 -> 3.155 on a real tower ray,
-#: uncertified), and (b) ROUNDS the integer ids >256 riding the node rows
-#: (child compact columns, lanes 48..55) and gmap — silently fetching the
-#: wrong columns on any table wider than 256. HIGHEST reconstructs f32
-#: bit-exactly (verified on-chip: max abs diff 0.0); exactness is an
-#: invariant, so this is not tunable back to None without a probe showing
-#: the platform default became exact.
+#: precision for the few remaining f32-table one-hot fetches (gmap in the
+#: attr kernel). Round 3 hardware finding (tools/tower_exact.py ->
+#: /tmp/ray_hw2 probe): the platform DEFAULT matmul is bf16-grade
+#: (measured 3.7e-3 relative error reconstructing a stored leaf row),
+#: which (a) perturbs slab/MT inputs enough to flip a sliver-triangle hit
+#: to a miss (t 2.429 -> 3.155 on a real tower ray, uncertified), and
+#: (b) ROUNDS the integer ids >256 riding the node rows (child compact
+#: columns, lanes 48..55) and gmap — silently fetching the wrong columns
+#: on any table wider than 256. HIGHEST reconstructs f32 bit-exactly
+#: (verified on-chip: max abs diff 0.0) but costs 6 MXU passes; the HOT
+#: fetches therefore use 3-plane bf16 SPLIT tables (_split3 /
+#: _fetch_split below): bit-exact by construction at 3x single-pass bf16
+#: cost — half of HIGHEST. Exactness is an invariant: neither scheme is
+#: tunable back to the platform default without a probe showing it became
+#: exact.
 LEAF_PRECISION = jax.lax.Precision.HIGHEST
 
 
@@ -114,10 +123,10 @@ class PallasTables(struct.PyTreeNode):
     as rows c*64+pos; `gmap` row 0 maps canonical leaf-group ids to
     compact columns."""
 
-    root: Any  # (NROWS, 128) f32
-    levels: Any  # tuple of (NROWS, Gc_l) f32
-    leaf: Any  # (576, Gc_leaf) f32
-    attr: Any  # (1600, Gc_leaf) f32, or None (traced fallback build)
+    root: Any  # (NROWS, 128) f32 (static read)
+    levels: Any  # [0]: (NROWS, G1) f32 static; [1:]: (3*NROWS, Gc) bf16 split
+    leaf: Any  # depth 1: (576, 128) f32 static; else (3*576, Gc) bf16 split
+    attr: Any  # (3*1600, Gc_leaf) bf16 split, or None (traced fallback)
     gmap: Any  # (8, G_canonical) f32, or None
     depth: int = struct.field(pytree_node=False)
 
@@ -165,27 +174,119 @@ def _slab48(rows, o, inv, tmax):
     return intersect.aabb_slab(o, inv, bmin, bmax, EPSILON, tmax)
 
 
-def _fetch(table_ref, ids, precision="unset"):
-    """One-hot matmul row fetch: table (Wc, G) x onehot(G, R) -> (Wc, R).
-    Runs at LEAF_PRECISION by default: one-hot reconstruction is only
-    exact when the matmul is full-f32 (see LEAF_PRECISION note — the
-    platform default is bf16-grade and corrupts both coordinates and the
-    integer ids stored in node rows)."""
-    if precision == "unset":
-        precision = LEAF_PRECISION
+#: exact split-table format for the hot one-hot fetches:
+#:   "bf16x3" — x = hi+mid+lo truncated-8-bit-mantissa bf16 planes; one
+#:     single-pass bf16 matmul over 3x rows + 2 f32 adds. 3 pass-
+#:     equivalents (vs HIGHEST's 6).
+#:   "int8x4" — the RAW f32 BITS as 4 int8 byte planes, fetched with an
+#:     s8 x s8 -> s32 matmul and reassembled by shifts + bitcast. Pure
+#:     bit transport: exact for EVERY bit pattern, and the int8 MXU path
+#:     runs 2x the bf16 MAC rate on v5e, so 4 planes cost 2 bf16-pass
+#:     equivalents — the fastest exact fetch if Mosaic lowers s8 dots.
+#: Baked into tables at build time; kernels infer the format from dtype.
+SPLIT_MODE = "bf16x3"
+
+
+def _fetch_split(table_ref, ids, interp: bool = False):
+    """One-hot matmul row fetch from an exact SPLIT table (see SPLIT_MODE)
+    -> the exact stored f32 rows (Wc, R).
+
+    interp: running under pallas interpret mode (CPU tests) — upcast the
+    planes to f32 and matmul in f32 (bit-equal: plane->f32 conversion is
+    exact and the CPU f32 matmul is exact; XLA:CPU emulates bf16/int8
+    matmuls an order of magnitude slower than f32).
+
+    bf16x3 exactness: _split3 stores x = hi + mid + lo with TRUNCATED
+    8-bit mantissa chunks (bits [0,8) + [8,16) + [16,24) of the f32
+    mantissa), each exactly representable in bf16. In the matmul every
+    product is value*1.0 or value*0.0 (exact), the MXU accumulates in
+    f32, and hi+mid+lo re-sums exactly in f32 in ANY order (each partial
+    sum spans <= 24 mantissa bits).
+
+    int8x4 exactness: each plane carries one byte of the f32 bit pattern;
+    byte*{0,1} products accumulate exactly in s32 and the shifts/ors
+    reassemble the original word, bitcast back to f32."""
     g = table_ref.shape[1]
     r = ids.shape[-1]
-    oh = (_iota((g, r), 0) == ids).astype(table_ref.dtype)
-    return jax.lax.dot_general(
-        table_ref[:], oh, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
+    if table_ref.dtype == jnp.int8:
+        w = table_ref.shape[0] // 4
+        if interp:
+            oh = (_iota((g, r), 0) == ids).astype(jnp.float32)
+            out = jax.lax.dot_general(
+                table_ref[:].astype(jnp.float32), oh,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)  # exact: accumulated bytes in [-128, 127]
+        else:
+            oh = (_iota((g, r), 0) == ids).astype(jnp.int8)
+            out = jax.lax.dot_general(
+                table_ref[:], oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        word = (
+            (out[:w] & 0xFF)
+            | ((out[w : 2 * w] & 0xFF) << 8)
+            | ((out[2 * w : 3 * w] & 0xFF) << 16)
+            | (out[3 * w :] << 24)
+        )
+        return jax.lax.bitcast_convert_type(word, jnp.float32)
+    w = table_ref.shape[0] // 3
+    dt = jnp.float32 if interp else jnp.bfloat16
+    oh = (_iota((g, r), 0) == ids).astype(dt)
+    out = jax.lax.dot_general(
+        table_ref[:].astype(dt), oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
+    return out[:w] + out[w : 2 * w] + out[2 * w :]
 
 
-def _traverse_kernel(depth, ksel, kp, rays_ref, root_ref, *refs):
+def _split3(x: np.ndarray) -> np.ndarray:
+    """Split an f32 table into its exact split representation (SPLIT_MODE),
+    stacked along rows: (R, C) f32 -> (3R, C) bf16 or (4R, C) int8 with
+    the planes reconstructing x bit-exactly (see _fetch_split)."""
+    x = np.ascontiguousarray(np.asarray(x, np.float32))
+    if SPLIT_MODE == "int8x4":
+        b = x.view(np.uint32)
+        planes = [((b >> (8 * k)) & 0xFF).astype(np.uint8) for k in range(4)]
+        return np.concatenate(planes, axis=0).view(np.int8)
+    m = np.uint32(0xFFFF0000)  # truncate-to-bf16 mask (top 8 mantissa bits)
+    hi = (x.view(np.uint32) & m).view(np.float32)
+    r1 = x - hi
+    mid = (r1.view(np.uint32) & m).view(np.float32)
+    lo = r1 - mid
+    # truncation leaves <= 8 significant bits in lo, so it is exactly
+    # bf16-representable unless a value is subnormal/non-finite (tables
+    # never hold either: boxes are +/-EPSILON padded, empty slots are 0)
+    chk = (lo.view(np.uint32) & m).view(np.float32)
+    assert np.array_equal(chk, lo) and np.isfinite(x).all(), (
+        "table value not exactly 3-plane-bf16 splittable (subnormal/inf?)"
+    )
+    return np.concatenate([hi, mid, lo], axis=0).astype(jnp.bfloat16)
+
+
+def _split3_traced(x):
+    """Traced (jnp) form of _split3 for the uncompacted fallback build."""
+    if SPLIT_MODE == "int8x4":
+        b = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        planes = [
+            ((b >> (8 * k)) & 0xFF).astype(jnp.uint8).view(jnp.int8)
+            for k in range(4)
+        ]
+        return jnp.concatenate(planes, axis=0)
+    m = jnp.uint32(0xFFFF0000)
+    b = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(b & m, jnp.float32)
+    r1 = x - hi
+    b1 = jax.lax.bitcast_convert_type(r1, jnp.uint32)
+    mid = jax.lax.bitcast_convert_type(b1 & m, jnp.float32)
+    lo = r1 - mid
+    return jnp.concatenate([hi, mid, lo], axis=0).astype(jnp.bfloat16)
+
+
+def _traverse_kernel(depth, ksel, kp, interp, rays_ref, root_ref, *refs):
     """The kernel body. refs = node level tables (levels 1..depth-1),
-    leaf super table, out_ref — all f32. ksel = candidates kept per level;
-    kp = leaf groups fetched."""
+    leaf super table, out_ref. ksel = candidates kept per level;
+    kp = leaf groups fetched; interp = interpret mode (see _fetch_split)."""
     node_refs = refs[: depth - 1]
     leaf_ref = refs[depth - 1]
     out_ref = refs[depth]
@@ -265,7 +366,7 @@ def _traverse_kernel(depth, ksel, kp, rays_ref, root_ref, *refs):
         last = li == depth - 2
         new_d, new_id, new_cid = [], [], []
         for k in range(sel_ids.shape[0]):
-            rows = _fetch(node_refs[li], sel_cid[k : k + 1])  # (NROWS, R)
+            rows = _fetch_split(node_refs[li], sel_cid[k : k + 1], interp)  # (NROWS, R)
             d8 = _slab48(rows, o, inv, tmax)  # (8, R)
             new_d.append(jnp.where(sel_valid[k : k + 1], d8, INF))
             new_id.append(sel_ids[k : k + 1] * W + _iota((W, 1), 0))
@@ -322,7 +423,7 @@ def _traverse_kernel(depth, ksel, kp, rays_ref, root_ref, *refs):
             grel = jnp.sum(jnp.where(oh, bgrp, 0), axis=0, keepdims=True)
             gcid = jnp.sum(jnp.where(oh, bcid, 0), axis=0, keepdims=True)
             covered = covered | ((bgrp == grel) & has)
-            f = _fetch(leaf_ref, gcid, precision=LEAF_PRECISION)  # (576, R)
+            f = _fetch_split(leaf_ref, gcid, interp)  # (576, R)
             groups.append((f, grel, has))
 
         # exact certificate: every block whose group was NOT fetched
@@ -428,20 +529,27 @@ def build_tables_host(nodes, leaf_rows, depth, attr_rows=None) -> PallasTables:
         if lvl + 1 < depth:
             ch = idx[:, None] * W + np.arange(W)[None, :]
             t[48:56, : len(idx)] = cmap[lvl + 1][ch].T
-        levels.append(jnp.asarray(t))
+        # level 1 is read statically (no matmul) -> plain f32; deeper
+        # levels are one-hot fetched -> exact 3-plane bf16 split
+        levels.append(jnp.asarray(t if lvl == 1 else _split3(t)))
 
     # leaf super table: columns = compact level-(depth-1) ids
     n_groups = max(leaf_rows.shape[0] // W, 1)
     lr = leaf_rows.reshape(n_groups, W, 16, W)[:, :, :9, :]
     arr = lr.transpose(2, 1, 3, 0).reshape(9 * W * W, n_groups)
     if depth == 1:
+        # single group: read statically in the kernel -> plain f32
         sup = np.zeros((9 * W * W, 128), np.float32)
         sup[:, :1] = arr
         lidx = np.arange(1)
+        leaf = jnp.asarray(sup)
+        ncols = 128
     else:
         lidx = keep[depth - 1]
-        sup = np.zeros((9 * W * W, _round_up(len(lidx))), np.float32)
+        ncols = _round_up(len(lidx))
+        sup = np.zeros((9 * W * W, ncols), np.float32)
         sup[:, : len(lidx)] = arr[:, lidx]
+        leaf = jnp.asarray(_split3(sup))  # one-hot fetched -> split
 
     attr = gmap = None
     if attr_rows is not None:
@@ -450,18 +558,18 @@ def build_tables_host(nodes, leaf_rows, depth, attr_rows=None) -> PallasTables:
         ar = np.asarray(attr_rows, np.float32)
         at = ar[: n_groups * 64, :25].reshape(n_groups, 64, 25)
         aarr = at.transpose(2, 1, 0).reshape(25 * 64, n_groups)
-        attr_t = np.zeros((25 * 64, sup.shape[1]), np.float32)
+        attr_t = np.zeros((25 * 64, ncols), np.float32)
         attr_t[:, : len(lidx)] = aarr[:, lidx]
         g_can = W ** (depth - 1)
         gm = np.zeros((8, _round_up(g_can)), np.float32)
         if depth > 1:
             gm[0, :g_can] = cmap[depth - 1]
-        attr = jnp.asarray(attr_t)
+        attr = jnp.asarray(_split3(attr_t))  # always one-hot fetched
         gmap = jnp.asarray(gm)
 
     return PallasTables(
         root=jnp.asarray(root), levels=tuple(levels),
-        leaf=jnp.asarray(sup), attr=attr, gmap=gmap, depth=depth,
+        leaf=leaf, attr=attr, gmap=gmap, depth=depth,
     )
 
 
@@ -564,10 +672,11 @@ def build_scene_tables(nodes, leaf_rows, depth, attr_rows=None,
 def _tables_bytes(n_groups: int, depth: int) -> int:
     """Worst-case (uncompacted) VMEM bytes for one subtree's leaf + attr +
     node tables — attr is resident in the same kernel's VMEM for
-    fetch_attrs, so it counts against the budget too."""
-    leaf = _round_up(n_groups) * 9 * W * W * 4
-    attr = _round_up(n_groups) * 25 * W * W * 4
-    node = sum(W**l for l in range(depth)) * NROWS * 4
+    fetch_attrs, so it counts against the budget too. Fetched tables are
+    3-plane bf16 splits: 6 bytes per stored f32 (1.5x plain f32)."""
+    leaf = _round_up(n_groups) * 9 * W * W * 6
+    attr = _round_up(n_groups) * 25 * W * W * 6
+    node = sum(W**l for l in range(depth)) * NROWS * 6
     return leaf + attr + node
 
 
@@ -598,13 +707,15 @@ def build_tables(triangles, bvh) -> PallasTables:
         t = jnp.zeros((NROWS, _round_up(g)), jnp.float32)
         t = t.at[: 6 * W, :g].set(jnp.transpose(nodes[s : s + g, : 6 * W]))
         t = t.at[48:56, :].set(jnp.asarray(child_const(g, lvl)))
-        levels.append(t)
+        levels.append(t if lvl == 1 else _split3_traced(t))
 
     n_groups = max(triangles.leaf_rows.shape[0] // W, 1)
     lr = triangles.leaf_rows.reshape(n_groups, W, 16, W)[:, :, :9, :]
     arr = jnp.transpose(lr, (2, 1, 3, 0)).reshape(9 * W * W, n_groups)
     sup = jnp.zeros((9 * W * W, _round_up(n_groups)), jnp.float32)
     sup = sup.at[:, :n_groups].set(arr)
+    if depth > 1:
+        sup = _split3_traced(sup)
 
     return PallasTables(root=root, levels=tuple(levels), leaf=sup,
                         attr=None, gmap=None, depth=depth)
@@ -620,8 +731,8 @@ def scene_fits(triangles, bvh, budget_bytes: int = 8 * 2**20) -> bool:
     if bvh.depth > 4:
         return False
     n_groups = max(triangles.leaf_rows.shape[0] // W, 1)
-    leaf_bytes = _round_up(n_groups) * 9 * W * W * 4
-    node_bytes = bvh.nodes.shape[0] * NROWS * 4
+    leaf_bytes = _round_up(n_groups) * 9 * W * W * 6
+    node_bytes = bvh.nodes.shape[0] * NROWS * 6
     return leaf_bytes + node_bytes < budget_bytes
 
 
@@ -670,7 +781,7 @@ def intersect_bvh_pallas(
         t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        functools.partial(_traverse_kernel, depth, ksel, kp),
+        functools.partial(_traverse_kernel, depth, ksel, kp, interpret),
         grid=(r_pad // tile,),
         in_specs=[
             pl.BlockSpec((8, tile), lambda i: (0, i),
@@ -740,7 +851,7 @@ def intersect_bvh_pallas_forest(
     return best
 
 
-def _attr_kernel(depth, hits_ref, gmap_ref, attr_ref, out_ref):
+def _attr_kernel(depth, interp, hits_ref, gmap_ref, attr_ref, out_ref):
     """Fetch + interpolate the winning triangle's 25 shading attributes.
 
     The XLA equivalent (integrator._gather_hit_geometry) is ONE 512-byte
@@ -774,7 +885,7 @@ def _attr_kernel(depth, hits_ref, gmap_ref, attr_ref, out_ref):
         ).astype(jnp.int32)
     else:
         cid = jnp.zeros((1, r), jnp.int32)
-    cols = _fetch(attr_ref, cid)  # (1600, r)
+    cols = _fetch_split(attr_ref, cid, interp)  # (1600, r)
 
     pos = tri & 63
     oh_p = _iota((64, r), 0) == pos
@@ -827,7 +938,7 @@ def fetch_attrs(tables: PallasTables, tri, u, v, interpret: bool | None = None):
         t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        functools.partial(_attr_kernel, tables.depth),
+        functools.partial(_attr_kernel, tables.depth, interpret),
         grid=(r_pad // R_TILE,),
         in_specs=[
             pl.BlockSpec((8, R_TILE), lambda i: (0, i),

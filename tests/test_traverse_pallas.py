@@ -229,3 +229,28 @@ def test_attr_kernel_matches_xla_gather(rng):
                 np.asarray(getattr(want[k], c))[m], rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(
         np.asarray(got["mat_id"])[m], np.asarray(want["mat_id"])[m])
+
+
+@pytest.mark.parametrize("mode", ["bf16x3", "int8x4"])
+def test_split_table_reconstruction_exact(rng, mode, monkeypatch):
+    """Both split formats transport f32 table values BIT-exactly through
+    a one-hot matmul fetch (incl. negatives, integer ids, and extreme
+    exponents) — the invariant the traversal certificate rests on."""
+    monkeypatch.setattr(tp, "SPLIT_MODE", mode)
+    vals = np.concatenate([
+        rng.standard_normal(400).astype(np.float32) * 1e3,
+        rng.standard_normal(400).astype(np.float32) * 1e-3,
+        np.arange(200, dtype=np.float32) * 37.0,  # integer ids incl. >256
+        np.array([0.0, -0.0, 1.0, -1.0, 3.0e38, 1.2e-30], np.float32),
+    ])
+    table = np.zeros((24, 128), np.float32)
+    table.flat[: vals.size] = vals[: table.size]
+    split = tp._split3(table)
+    ids = jnp.asarray(rng.integers(0, 128, size=(1, 256)), jnp.int32)
+    got = tp._fetch_split(jnp.asarray(split), ids)
+    want = jnp.asarray(table)[:, ids[0]]
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    split_t = tp._split3_traced(jnp.asarray(table))
+    got_t = tp._fetch_split(split_t, ids)
+    assert np.array_equal(np.asarray(got_t), np.asarray(want))
