@@ -9,11 +9,18 @@ boxes exactly like the reference (bvh_visualizer.c:44-49).
 Usage:
     python tools/bvh_viz.py <model.(obj|glb|gltf|npz)> [out.obj]
     python tools/bvh_viz.py <model> --overlay <prefix> [size]
+    python tools/bvh_viz.py <model> --interactive [--snapshot out.png]
 
 --overlay renders the scene once and writes <prefix>_level<d>.png per BVH
-level with the level's AABB wireframes projected over the render — the
-closest headless analog of the reference app's arrow-key level stepping
-(bvh_visualizer.c:60-107).
+level with the level's AABB wireframes projected over the render.
+
+--interactive is the direct counterpart of the reference's raylib app
+(bvh_visualizer.c:60-107): an orbiting wireframe view of one BVH level at
+a time, drawn in the terminal with ANSI half-blocks. Up/Down steps the
+shown level (KEY_UP/KEY_DOWN parity), Left/Right orbits, w/s tilts,
++/- zooms, q quits. Level color follows the reference's HSV-by-depth
+formula (bvh_visualizer.c:26). --snapshot renders one frame to a PNG
+instead (headless self-test).
 """
 
 from __future__ import annotations
@@ -153,9 +160,201 @@ def overlay_levels(scene, prefix: str, size: int = 512) -> None:
         level_size *= 8
 
 
+def _level_corner_sets(scene):
+    """Per level: (n_boxes, 8, 3) corner array of the nonempty child boxes
+    (empty-lane skip rule = bvh_visualizer.c:44-49)."""
+    mins, maxs = scene.bvh.child_boxes_np()
+    levels = []
+    level_start, level_size = 0, 1
+    for _d in range(scene.bvh.depth):
+        lo = mins[level_start : level_start + level_size].reshape(-1, 3)
+        hi = maxs[level_start : level_start + level_size].reshape(-1, 3)
+        keep = ~((lo == 0).all(1) & (hi == 0).all(1))
+        lo, hi = lo[keep], hi[keep]
+        # corner i takes hi on axis c iff bit c of i is set (same corner
+        # order as dump_bvh_obj above)
+        bits = ((np.arange(8)[:, None] >> np.arange(3)[None, :]) & 1) != 0
+        corners = (
+            np.where(bits[None], hi[:, None, :], lo[:, None, :])
+            if len(lo)
+            else np.zeros((0, 8, 3), np.float32)
+        )
+        levels.append(corners)
+        level_start += level_size
+        level_size *= 8
+    return levels
+
+
+def _hsv_level_color(depth_shown: int, tree_depth: int):
+    """ColorFromHSV(-360*depth/bvh->depth, 0.7, 1) — bvh_visualizer.c:26."""
+    import colorsys
+
+    h = (-(depth_shown) / max(tree_depth, 1)) % 1.0
+    r, g, b = colorsys.hsv_to_rgb(h, 0.7, 1.0)
+    return np.array([r * 255, g * 255, b * 255], np.float32)
+
+
+def _raster_frame(level_corners, color, eye, target, width, height,
+                  fovy_deg=45.0):
+    """Rasterize one level's box edges into an (H, W, 3) u8 buffer with a
+    look-at pinhole camera (the raylib camera's perspective model)."""
+    buf = np.zeros((height, width, 3), np.float32)
+    corners = level_corners
+    if len(corners) == 0:
+        return buf.astype(np.uint8)
+    fwd = target - eye
+    fwd = fwd / max(np.linalg.norm(fwd), 1e-9)
+    upw = np.array([0.0, 1.0, 0.0])
+    right = np.cross(fwd, upw)
+    right /= max(np.linalg.norm(right), 1e-9)
+    up = np.cross(right, fwd)
+    f = 1.0 / np.tan(np.radians(fovy_deg) / 2)
+    aspect = width / height / 2.0  # half: terminal cells are ~2x tall
+
+    pts = corners.reshape(-1, 3) - eye
+    cx = pts @ right
+    cy = pts @ up
+    cz = pts @ fwd
+    ok = cz > 1e-6
+    zi = np.where(ok, cz, 1.0)
+    px = (cx * f / zi / aspect + 1.0) * width / 2.0
+    py = (-cy * f / zi + 1.0) * height / 2.0
+    px = px.reshape(-1, 8)
+    py = py.reshape(-1, 8)
+    ok = ok.reshape(-1, 8)
+
+    S = 48  # samples per edge
+    t = np.linspace(0.0, 1.0, S)[None, :]
+    alpha = 0.35  # additive dim (the reference's ColorAlpha 0.125 analog)
+    for a, b in _EDGES:
+        good = ok[:, a] & ok[:, b]
+        if not good.any():
+            continue
+        xs = px[good, a, None] * (1 - t) + px[good, b, None] * t
+        ys = py[good, a, None] * (1 - t) + py[good, b, None] * t
+        xi = np.round(xs).astype(np.int64).ravel()
+        yi = np.round(ys).astype(np.int64).ravel()
+        m = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
+        np.add.at(buf, (yi[m], xi[m]), color * alpha)
+    return np.clip(buf, 0, 255).astype(np.uint8)
+
+
+def _ansi_draw(buf):
+    """(H, W, 3) u8 -> half-block ANSI string (two pixel rows per line)."""
+    h, w, _ = buf.shape
+    out = ["\x1b[H"]
+    for y in range(0, h - 1, 2):
+        row = []
+        for x in range(w):
+            tr, tg, tb = buf[y, x]
+            br, bg_, bb = buf[y + 1, x]
+            row.append(
+                f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg_};{bb}m▀"
+            )
+        out.append("".join(row) + "\x1b[0m")
+    return "\n".join(out)
+
+
+def interactive(scene, snapshot: str | None = None):
+    """Terminal port of the raylib viewer loop (bvh_visualizer.c:60-107)."""
+    import shutil
+
+    levels = _level_corner_sets(scene)
+    depth = scene.bvh.depth
+    all_pts = np.concatenate(
+        [c.reshape(-1, 3) for c in levels if len(c)], axis=0
+    )
+    center = (all_pts.min(0) + all_pts.max(0)) / 2
+    radius = float(np.linalg.norm(all_pts.max(0) - all_pts.min(0)))
+    state = {"show": depth - 1, "az": 0.8, "el": 0.5, "r": 1.6 * radius}
+
+    def frame(width, height):
+        eye = center + state["r"] * np.array([
+            np.cos(state["el"]) * np.sin(state["az"]),
+            np.sin(state["el"]),
+            np.cos(state["el"]) * np.cos(state["az"]),
+        ])
+        show = int(np.clip(state["show"], 0, depth - 1))
+        color = _hsv_level_color(show + 1, depth)
+        return _raster_frame(levels[show], color, eye, center,
+                             width, height), show
+
+    if snapshot is not None:
+        from PIL import Image
+
+        buf, show = frame(512, 512)
+        Image.fromarray(buf).save(snapshot)
+        print(f"{snapshot}: level {show} "
+              f"({len(levels[show])} boxes) of depth {depth}")
+        return
+
+    import termios
+    import tty
+
+    if not sys.stdout.isatty():
+        print("--interactive needs a TTY (use --snapshot headless)")
+        return
+    fd = sys.stdin.fileno()
+    old = termios.tcgetattr(fd)
+    sys.stdout.write("\x1b[2J\x1b[?25l")
+    try:
+        tty.setcbreak(fd)
+        while True:
+            cols, rows = shutil.get_terminal_size()
+            w, h = cols, 2 * (rows - 1)
+            buf, show = frame(w, h)
+            sys.stdout.write(_ansi_draw(buf))
+            sys.stdout.write(
+                f"\n\x1b[0mlevel {show}/{depth - 1} "
+                f"({len(levels[show])} boxes)  "
+                "[Up/Down] level  [Left/Right,w/s] orbit  [+/-] zoom  [q]uit"
+            )
+            sys.stdout.flush()
+            ch = sys.stdin.read(1)
+            if ch == "\x1b":
+                seq = sys.stdin.read(2)
+                if seq == "[A":
+                    state["show"] = min(state["show"] + 1, depth - 1)
+                elif seq == "[B":
+                    state["show"] = max(state["show"] - 1, 0)
+                elif seq == "[C":
+                    state["az"] += 0.2
+                elif seq == "[D":
+                    state["az"] -= 0.2
+            elif ch == "w":
+                state["el"] = min(state["el"] + 0.15, 1.45)
+            elif ch == "s":
+                state["el"] = max(state["el"] - 0.15, -1.45)
+            elif ch in "+=":
+                state["r"] *= 0.85
+            elif ch == "-":
+                state["r"] /= 0.85
+            elif ch == "q":
+                break
+    finally:
+        termios.tcsetattr(fd, termios.TCSADRAIN, old)
+        sys.stdout.write("\x1b[?25h\x1b[0m\n")
+
+
+def _load(path):
+    if path.endswith(".npz"):
+        from raytracing_c_tpu.models.serialization import load_scene_cache
+
+        return load_scene_cache(path)
+    from raytracing_c_tpu.io.loader import load_scene
+
+    return load_scene(path, background_path=None, warn=lambda *a: None)
+
+
 def main(argv):
     _ensure_backend()
     path = argv[0]
+    if len(argv) >= 2 and argv[1] == "--interactive":
+        snap = None
+        if "--snapshot" in argv:
+            snap = argv[argv.index("--snapshot") + 1]
+        interactive(_load(path), snapshot=snap)
+        return
     if len(argv) >= 3 and argv[1] == "--overlay":
         if path.endswith(".npz"):
             from raytracing_c_tpu.models.serialization import load_scene_cache
