@@ -26,3 +26,18 @@ def test_bvh_dump_obj(tmp_path, rng):
     n_boxes = sum(stats.values())
     assert text.count("\nv ") == n_boxes * 8
     assert text.count("\nl ") == n_boxes * 12
+
+
+def test_bvh_interactive_snapshot(tmp_path, rng):
+    """--interactive's frame renderer (headless --snapshot form): one level
+    of wireframe boxes rasterized with the orbit camera, non-empty image."""
+    from bvh_viz import interactive
+
+    scene = simple_scene(random_mesh(200, rng))
+    out = str(tmp_path / "snap.png")
+    interactive(scene, snapshot=out)
+    from PIL import Image
+
+    a = np.asarray(Image.open(out))
+    assert a.shape == (512, 512, 3)
+    assert (a > 0).mean() > 0.001  # wireframes actually drawn
