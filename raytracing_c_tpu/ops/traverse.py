@@ -502,7 +502,7 @@ def intersect_bvh_verified(
 
 def intersect_bvh_pallas_verified(
     origin: Vec3, direction: Vec3, triangles, bvh, active=None, kp: int = 4,
-    max_suspects: int | None = None, tables=None,
+    max_suspects: int | None = None, tables=None, fuse_attr: bool = False,
 ):
     """Exact traversal with the fused Pallas kernel as the fast path.
 
@@ -529,13 +529,13 @@ def intersect_bvh_pallas_verified(
     from raytracing_c_tpu.ops import traverse_pallas as tp
 
     if isinstance(tables, tp.ForestTables):
-        def tier0(o, d, act, kp_, ksel_):
+        def tier0(o, d, act, kp_, ksel_, fuse=False):
             return tp.intersect_bvh_pallas_forest(
                 o, d, tables, act, kp=kp_, ksel=ksel_,
                 tile=256 if ksel_ > 8 else None,
             )
     else:
-        def tier0(o, d, act, kp_, ksel_):
+        def tier0(o, d, act, kp_, ksel_, fuse=False):
             # wide (ksel=16/kp=16) passes halve the ray tile: their
             # per-tile scratch at the exact-fetch precision (16 HIGHEST
             # leaf fetches + 16-wide candidate buffers) overflows the
@@ -543,9 +543,12 @@ def intersect_bvh_pallas_verified(
             return tp.intersect_bvh_pallas(
                 o, d, triangles, bvh, act, kp=kp_, ksel=ksel_,
                 tables=tables, tile=256 if ksel_ > 8 else None,
+                fuse_attr=fuse,
             )
 
-    hit = tier0(origin, direction, active, kp, 8)
+    hit = tier0(origin, direction, active, kp, 8, fuse_attr)
+    attrs = hit.pop("attrs", None)  # tier-0 winners' attrs (fused path)
+    t0_t, t0_tri = hit["t"], hit["tri"]
     suspect = hit.pop("dropped_min") < hit["t"]
     if active is not None:
         suspect = suspect & active
@@ -571,12 +574,24 @@ def intersect_bvh_pallas_verified(
             jnp.any(still), brute_tier, lambda a: a[0], (wide, still)
         )
 
-    return _repair_suspects(hit, suspect, wide_exact, origin, direction, s_cap)
+    merged = _repair_suspects(
+        hit, suspect, wide_exact, origin, direction, s_cap
+    )
+    if attrs is not None:
+        # fused attrs describe tier-0's winners; flag lanes the repair
+        # changed so the consumer can refetch exactly those (rare:
+        # suspects are ~0.5% and most verify unchanged)
+        merged["attrs"] = attrs
+        merged["attrs_stale"] = (merged["tri"] != t0_tri) | (
+            merged["t"] != t0_t
+        )
+    return merged
 
 
 def intersect_scene(
     scene, origin: Vec3, direction: Vec3, active=None, method: str = "topk",
     k: int = 8, k_leaf: int = 8, k_pallas: int | None = None,
+    fuse_attr: bool = False,
 ):
     """ray_scene_hit (raytracer.c:497-503) + the sphere pass: nearest hit
     among BVH triangles and analytic spheres.
@@ -593,11 +608,16 @@ def intersect_scene(
     # silently overrode the callee's kp=4 (suspects then overflowed the
     # r/32 cap and the full-width wide pass fired every dense bounce,
     # +21 ms per 262k intersect in the batch profile)
+    if method == "pallas_fused":
+        # fused attr interpolation inside the traversal kernel; results
+        # carry "attrs"/"attrs_stale" for _gather_hit_geometry
+        method, fuse_attr = "pallas", True
     if method == "pallas":
         kw = {} if k_pallas is None else {"kp": k_pallas}
         hit = intersect_bvh_pallas_verified(
             origin, direction, scene.triangles, scene.bvh, active,
-            tables=getattr(scene, "ptables", None), **kw,
+            tables=getattr(scene, "ptables", None), fuse_attr=fuse_attr,
+            **kw,
         )
     elif method == "pallas_fast":
         from raytracing_c_tpu.ops import traverse_pallas as tp
@@ -645,10 +665,16 @@ def intersect_scene(
         sphere_wins = (t_sph < t_tri) & active
     else:
         sphere_wins = t_sph < t_tri
-    return {
+    out = {
         "t": jnp.where(sphere_wins, t_sph, t_tri),
         "tri": jnp.where(sphere_wins, -1, tri),
         "sph": jnp.where(sphere_wins, sph, -1),
         "u": hit["u"],
         "v": hit["v"],
     }
+    if "attrs" in hit:
+        # fused tier-0 attrs (sphere-won lanes are overridden downstream,
+        # _gather_hit_geometry's sphere pass)
+        out["attrs"] = hit["attrs"]
+        out["attrs_stale"] = hit["attrs_stale"]
+    return out

@@ -283,13 +283,21 @@ def _split3_traced(x):
     return jnp.concatenate([hi, mid, lo], axis=0).astype(jnp.bfloat16)
 
 
-def _traverse_kernel(depth, ksel, kp, interp, rays_ref, root_ref, *refs):
+def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
+                     *refs):
     """The kernel body. refs = node level tables (levels 1..depth-1),
-    leaf super table, out_ref. ksel = candidates kept per level;
-    kp = leaf groups fetched; interp = interpret mode (see _fetch_split)."""
+    leaf super table, [gmap, attr when fuse], out_ref. ksel = candidates
+    kept per level; kp = leaf groups fetched; interp = interpret mode
+    (see _fetch_split); fuse = interpolate the winner's shading attributes
+    in-kernel (_interp_attrs) — one dispatch per bounce instead of two,
+    and the hit planes never round-trip HBM between them."""
     node_refs = refs[: depth - 1]
     leaf_ref = refs[depth - 1]
-    out_ref = refs[depth]
+    if fuse:
+        gmap_ref, attr_ref = refs[depth], refs[depth + 1]
+        out_ref = refs[depth + 2]
+    else:
+        out_ref = refs[depth]
 
     r = rays_ref.shape[1]
     o = Vec3(rays_ref[0:1, :], rays_ref[1:2, :], rays_ref[2:3, :])
@@ -470,7 +478,7 @@ def _traverse_kernel(depth, ksel, kp, interp, rays_ref, root_ref, *refs):
         best_tri = jnp.where(better, tri_min, best_tri)
         best_t = jnp.where(better, tmin, best_t)
 
-    out_ref[:] = jnp.concatenate(
+    hit_rows = jnp.concatenate(
         [
             best_t,
             best_u,
@@ -481,6 +489,14 @@ def _traverse_kernel(depth, ksel, kp, interp, rays_ref, root_ref, *refs):
         ],
         axis=0,
     )
+    if fuse:
+        attrs = _interp_attrs(
+            depth, interp, gmap_ref, attr_ref,
+            jnp.maximum(best_tri, 0), best_u, best_v,
+        )
+        out_ref[:] = jnp.concatenate([hit_rows, attrs], axis=0)
+    else:
+        out_ref[:] = hit_rows
 
 
 def _round_up(n, m=128):
@@ -740,6 +756,7 @@ def intersect_bvh_pallas(
     origin: Vec3, direction: Vec3, triangles, bvh, active=None, kp: int = 2,
     ksel: int = 8, t_max=None, tables: PallasTables | None = None,
     interpret: bool | None = None, tile: int | None = None,
+    fuse_attr: bool = False,
 ):
     """Single-pass fused traversal (Pallas). Returns dict(t, tri, u, v,
     dropped_min) with the same semantics/certificate as
@@ -749,7 +766,13 @@ def intersect_bvh_pallas(
     to an uncompacted traced build when absent.
     t_max: optional (R,) per-ray pruning bound: subtrees entered at or
     beyond it are skipped AND excluded from the certificate (only hits
-    strictly closer than t_max can be found/certified)."""
+    strictly closer than t_max can be found/certified).
+    fuse_attr: also interpolate the winner's 25 shading attributes
+    in-kernel (requires host-built tables with attr/gmap); adds an
+    "attrs" entry — the (16, R) _interp_attrs planes — to the result.
+    Attr values correspond to THIS pass's winners; callers that repair
+    hits afterwards must refetch attrs for changed lanes (see
+    intersect_bvh_pallas_verified)."""
     r = origin.shape[0]
     kp = min(kp, max(W, ksel))
     if interpret is None:
@@ -760,6 +783,7 @@ def intersect_bvh_pallas(
     if tables is None:
         tables = build_tables(triangles, bvh)
     depth = tables.depth
+    fuse = bool(fuse_attr) and tables.attr is not None
 
     r_pad = ((r + tile - 1) // tile) * tile
     if active is None:
@@ -777,32 +801,40 @@ def intersect_bvh_pallas(
     rays = jnp.pad(rays, ((0, 0), (0, r_pad - r)))
 
     tbls = [tables.root, *tables.levels, tables.leaf]
+    if fuse:
+        tbls += [tables.gmap, tables.attr]
+    out_rows = 24 if fuse else 8
     full = lambda t: pl.BlockSpec(  # noqa: E731
         t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        functools.partial(_traverse_kernel, depth, ksel, kp, interpret),
+        functools.partial(
+            _traverse_kernel, depth, ksel, kp, interpret, fuse
+        ),
         grid=(r_pad // tile,),
         in_specs=[
             pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             *[full(t) for t in tbls],
         ],
-        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
+        out_specs=pl.BlockSpec((out_rows, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_rows, r_pad), jnp.float32),
         interpret=interpret,
     )(rays, *tbls)
 
     t = out[0, :r]
     hit = jnp.isfinite(t)
-    return {
+    res = {
         "t": t,
         "u": out[1, :r],
         "v": out[2, :r],
         "tri": jnp.where(hit, out[3, :r].astype(jnp.int32), -1),
         "dropped_min": out[4, :r],
     }
+    if fuse:
+        res["attrs"] = out[8:24, :r]
+    return res
 
 
 def intersect_bvh_pallas_forest(
@@ -851,24 +883,16 @@ def intersect_bvh_pallas_forest(
     return best
 
 
-def _attr_kernel(depth, interp, hits_ref, gmap_ref, attr_ref, out_ref):
-    """Fetch + interpolate the winning triangle's 25 shading attributes.
-
-    The XLA equivalent (integrator._gather_hit_geometry) is ONE 512-byte
-    attribute-row gather per ray — measured 4.5 ms per 262k rays,
-    latency-bound like every per-row gather (docs/PERF.md). Here the fetch
-    is a one-hot matmul against the VMEM-resident attr super table
-    (canonical group -> compact column via `gmap`, then a 64-wide position
-    select), ~0.4 M MAC/ray on helmet — MXU work, no HBM intermediates.
-
-    Interpolation matches _gather_hit_geometry's formulas term for term
-    (raytracer.c:159-183 parity): normal = n0*w + n1*u + n2*v, uv
-    likewise, with w = 1 - u - v.
-    """
-    r = hits_ref.shape[1]
-    tri = jnp.maximum(hits_ref[0:1, :], 0.0).astype(jnp.int32)
-    u = hits_ref[1:2, :]
-    v = hits_ref[2:3, :]
+def _interp_attrs(depth, interp, gmap_ref, attr_ref, tri, u, v):
+    """Shared attribute fetch + interpolation core: one-hot matmul against
+    the VMEM-resident attr super table (canonical group -> compact column
+    via `gmap`, then a 64-wide position select), interpolation matching
+    _gather_hit_geometry term for term (raytracer.c:159-183 parity):
+    normal = n0*w + n1*u + n2*v, uv likewise, with w = 1 - u - v.
+    Returns (16, R): normal3, ng3, tangent3, bitangent3, uv_u, uv_v, mat,
+    zero pad. Used by the standalone _attr_kernel AND inlined into the
+    traversal kernel when fuse_attr is on."""
+    r = tri.shape[-1]
     w = 1.0 - u - v
 
     if depth > 1:
@@ -908,11 +932,22 @@ def _attr_kernel(depth, interp, hits_ref, gmap_ref, attr_ref, out_ref):
     uv_u = uv0u * w + uv1u * u + uv2u * v
     uv_v = uv0v * w + uv1v * u + uv2v * v
 
-    out_ref[:] = jnp.concatenate(
+    return jnp.concatenate(
         [*normal, *ng, *tan, *btn, uv_u, uv_v, mat,
          jnp.zeros((1, r), jnp.float32)],
         axis=0,
     )
+
+
+def _attr_kernel(depth, interp, hits_ref, gmap_ref, attr_ref, out_ref):
+    """Standalone winning-triangle attribute kernel (the XLA equivalent,
+    integrator._gather_hit_geometry, is ONE 512-byte attribute-row gather
+    per ray — measured 4.5 ms per 262k rays, latency-bound; the one-hot
+    MXU fetch does the same work in ~1 ms, docs/PERF.md)."""
+    tri = jnp.maximum(hits_ref[0:1, :], 0.0).astype(jnp.int32)
+    u = hits_ref[1:2, :]
+    v = hits_ref[2:3, :]
+    out_ref[:] = _interp_attrs(depth, interp, gmap_ref, attr_ref, tri, u, v)
 
 
 def fetch_attrs(tables: PallasTables, tri, u, v, interpret: bool | None = None):
@@ -951,7 +986,12 @@ def fetch_attrs(tables: PallasTables, tri, u, v, interpret: bool | None = None):
         interpret=interpret,
     )(hits, tables.gmap, tables.attr)
 
-    o = out[:, :r]
+    return attrs_to_dict(out[:, :r])
+
+
+def attrs_to_dict(o):
+    """(16, R) _interp_attrs planes -> the geometry dict the integrator
+    consumes (shared by fetch_attrs and the fused-traversal path)."""
     return {
         "normal": Vec3(o[0], o[1], o[2]),
         "ng": Vec3(o[3], o[4], o[5]),

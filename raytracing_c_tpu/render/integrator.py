@@ -44,7 +44,34 @@ def _gather_hit_geometry(scene, origin: Vec3, direction: Vec3, hit,
     262k rays; the kernel does the same work in ~1 ms).
     """
     ptables = getattr(scene, "ptables", None)
-    if method.startswith("pallas") and ptables is not None \
+    if "attrs" in hit:
+        # fused-traversal attrs (tier-0 winners, interpolated in-kernel).
+        # Lanes the exactness repair changed refetch behind a cond — rare
+        # by construction (suspects ~0.5%, most verify unchanged), so the
+        # dense refetch branch almost never executes.
+        from raytracing_c_tpu.ops import traverse_pallas as tp
+
+        fused = tp.attrs_to_dict(hit["attrs"])
+        stale = hit["attrs_stale"]
+
+        def _refetch(_):
+            g2 = tp.fetch_attrs(ptables, hit["tri"], hit["u"], hit["v"])
+            return {
+                k: (
+                    Vec3.where(stale, g2[k], fused[k])
+                    if isinstance(fused[k], Vec3)
+                    else jnp.where(stale, g2[k], fused[k])
+                )
+                for k in fused
+            }
+
+        g = jax.lax.cond(
+            jnp.any(stale), _refetch, lambda _: fused, None
+        )
+        normal, ng = g["normal"], g["ng"]
+        tangent, bitangent = g["tangent"], g["bitangent"]
+        uv_u, uv_v, mat_id = g["uv_u"], g["uv_v"], g["mat_id"]
+    elif method.startswith("pallas") and ptables is not None \
             and ptables.attr is not None:
         from raytracing_c_tpu.ops import traverse_pallas as tp
 
@@ -196,8 +223,10 @@ def bounce_step(scene, st, rand4, method: str = "topk",
         wd = out["nee_dir"]
         sbias = jnp.where(geom["ng"].dot(wd) < 0.0, -EPSILON, EPSILON)
         s_org = geom["point"] + geom["ng"] * sbias
+        # shadow rays only need occlusion — never pay for fused attrs
+        shadow_method = "pallas" if method == "pallas_fused" else method
         shot = traverse.intersect_scene(scene, s_org, wd, shaded,
-                                        method=method)
+                                        method=shadow_method)
         lit = shaded & ~jnp.isfinite(shot["t"])
         radiance = radiance + Vec3.where(
             lit, st["throughput"] * out["nee_partial"], zero

@@ -254,3 +254,70 @@ def test_split_table_reconstruction_exact(rng, mode, monkeypatch):
     split_t = tp._split3_traced(jnp.asarray(table))
     got_t = tp._fetch_split(split_t, ids)
     assert np.array_equal(np.asarray(got_t), np.asarray(want))
+
+
+def test_fused_attr_traversal_matches_separate(rng):
+    """fuse_attr: the in-kernel attr interpolation must equal the
+    standalone attr kernel on the same winners, and the verified wrapper's
+    stale-lane refetch must make the final geometry match the XLA gather
+    even when repairs change winners (kp=2 forces a real repair rate)."""
+    from raytracing_c_tpu.render.integrator import _gather_hit_geometry
+
+    mesh = random_mesh(3000, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(768, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    # single pass: attrs == standalone kernel on identical winners
+    one = tp.intersect_bvh_pallas(
+        o, d, scene.triangles, scene.bvh, tables=scene.ptables,
+        kp=2, fuse_attr=True,
+    )
+    sep = tp.fetch_attrs(scene.ptables, one["tri"], one["u"], one["v"])
+    fused = tp.attrs_to_dict(one["attrs"])
+    m = np.asarray(one["tri"]) >= 0
+    for k in ("uv_u", "uv_v"):
+        np.testing.assert_array_equal(
+            np.asarray(fused[k])[m], np.asarray(sep[k])[m]
+        )
+    np.testing.assert_array_equal(
+        np.asarray(fused["mat_id"])[m], np.asarray(sep["mat_id"])[m]
+    )
+    for k in ("normal", "ng", "tangent", "bitangent"):
+        for c in "xyz":
+            np.testing.assert_array_equal(
+                np.asarray(getattr(fused[k], c))[m],
+                np.asarray(getattr(sep[k], c))[m],
+            )
+
+    # verified + fused: final geometry equals the XLA gather of the FINAL
+    # (repaired) winners — the stale-lane refetch must fire correctly
+    ver = traverse.intersect_bvh_pallas_verified(
+        o, d, scene.triangles, scene.bvh, kp=2, tables=scene.ptables,
+        fuse_attr=True,
+    )
+    assert "attrs" in ver and "attrs_stale" in ver
+    hitd = {
+        "t": ver["t"], "tri": ver["tri"], "u": ver["u"], "v": ver["v"],
+        "sph": jnp.full_like(ver["tri"], -1),
+        "attrs": ver["attrs"], "attrs_stale": ver["attrs_stale"],
+    }
+    got = _gather_hit_geometry(scene, o, d, hitd, method="pallas")
+    ref_hit = {k: hitd[k] for k in ("t", "tri", "u", "v", "sph")}
+    want = _gather_hit_geometry(scene, o, d, ref_hit, method="topk")
+    m = np.asarray(ver["tri"]) >= 0
+    for k in ("uv_u", "uv_v"):
+        np.testing.assert_allclose(
+            np.asarray(got[k])[m], np.asarray(want[k])[m],
+            rtol=1e-5, atol=1e-6,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(got["mat_id"])[m], np.asarray(want["mat_id"])[m]
+    )
+    for k in ("normal", "ng", "tangent", "bitangent"):
+        for c in "xyz":
+            np.testing.assert_allclose(
+                np.asarray(getattr(got[k], c))[m],
+                np.asarray(getattr(want[k], c))[m],
+                rtol=1e-5, atol=1e-6,
+            )

@@ -196,6 +196,29 @@ for mode in ("bf16x3", "int8x4"):
             )["t"],
             o, d, act,
         )
+
+        def _fused(o, d, a, pt=pt):
+            h = traverse.intersect_bvh_pallas_verified(
+                o, d, tris, bvh, a, tables=pt, fuse_attr=True
+            )
+            # keep the attr planes live (sum defeats DCE) — models the
+            # production consumer, which reads them every bounce
+            return h["t"] + h["attrs"][0]
+
+        timed(f"[{mode}] {label} verified+fused-attr", _fused, o, d, act)
+        timed(
+            f"[{mode}] {label} attr-kernel standalone",
+            lambda o, d, a, pt=pt: (
+                lambda h: tp.fetch_attrs(pt, h["tri"], h["u"], h["v"])[
+                    "uv_u"
+                ] + h["t"]
+            )(
+                traverse.intersect_bvh_pallas_verified(
+                    o, d, tris, bvh, a, tables=pt
+                )
+            ),
+            o, d, act,
+        )
     # wide-pass tile sweep (the escalation's ksel=16/kp=16 program)
     for tile in (256, 512, 1024):
         try:
