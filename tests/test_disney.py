@@ -114,3 +114,70 @@ def test_normal_map_flat_texture_is_identity():
     np.testing.assert_allclose(
         np.asarray(out.to_array()), [[0, 0, 1]], atol=1e-6
     )
+
+
+def test_material_fetch_onehot_matches_gather_fallback():
+    """shade()'s one-hot material fetch (tables <= 256 rows) must agree
+    bit-for-bit with the large-table row-gather fallback on identical
+    materials — guards the fallback boundary introduced with the MXU
+    material fetch."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from raytracing_c_tpu.models.scene import MaterialTable, TextureAtlas
+    from raytracing_c_tpu.ops import disney
+    from raytracing_c_tpu.utils.vec3 import Vec3
+
+    rng = np.random.default_rng(9)
+    R = 64
+
+    def scene_with(n_mats):
+        mt = MaterialTable.default(n_mats)
+        # vary a few parameters so materials are distinguishable
+        mt = mt.replace(
+            roughness=jnp.asarray(
+                rng.uniform(0.05, 1.0, n_mats).astype(np.float32)
+            ),
+            metalness=jnp.asarray(
+                rng.uniform(0.0, 1.0, n_mats).astype(np.float32)
+            ),
+        )
+        mt = mt.replace(rows=MaterialTable.pack_rows(mt)) \
+            if hasattr(MaterialTable, "pack_rows") else mt
+        class S:  # minimal scene surface for shade()
+            materials = mt
+            atlas = TextureAtlas.empty()
+        return S()
+
+    # rebuild rows if builder helper exists under another name
+    small = scene_with(16)
+    if small.materials.rows is None:
+        import pytest
+
+        pytest.skip("rows builder not exposed; covered by golden tests")
+    big_rows = jnp.concatenate(
+        [small.materials.rows] * 20, axis=0
+    )[:300]  # 300 > 256 -> gather path; rows 0..15 identical to small's
+    big = scene_with(16)
+    big.materials = big.materials.replace(rows=big_rows)
+
+    n = Vec3.full((R,), 0.0).replace(z=jnp.ones((R,)))
+    d = Vec3.full((R,), 0.0).replace(z=-jnp.ones((R,)))
+    t = Vec3.full((R,), 0.0).replace(x=jnp.ones((R,)))
+    b = Vec3.full((R,), 0.0).replace(y=jnp.ones((R,)))
+    mat_id = jnp.asarray(rng.integers(0, 16, R), jnp.int32)
+    u = jax.random.uniform(jax.random.PRNGKey(0), (4, R), jnp.float32)
+    uvs = jnp.zeros((R,))
+
+    a = disney.shade(small, d, n, n, t, b, uvs, uvs, mat_id, u)
+    c = disney.shade(big, d, n, n, t, b, uvs, uvs, mat_id, u)
+    for k in ("direction", "tint", "emission"):
+        for comp in "xyz":
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a[k], comp)),
+                np.asarray(getattr(c[k], comp)),
+            )
+    np.testing.assert_array_equal(
+        np.asarray(a["terminate"]), np.asarray(c["terminate"])
+    )
