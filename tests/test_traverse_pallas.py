@@ -321,3 +321,44 @@ def test_fused_attr_traversal_matches_separate(rng):
                 np.asarray(getattr(want[k], c))[m],
                 rtol=1e-5, atol=1e-6,
             )
+
+
+def test_int8x4_tables_full_traversal_exact(rng, monkeypatch):
+    """The int8x4 split format must carry the FULL pipeline (table build ->
+    traversal -> verified repair -> attr kernel) to the same oracle
+    exactness as the default bf16x3 format."""
+    monkeypatch.setattr(tp, "SPLIT_MODE", "int8x4")
+    mesh = random_mesh(2500, rng)
+    scene = simple_scene(mesh)  # tables built under int8x4
+    assert scene.ptables.leaf.dtype == jnp.int8
+
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+    brute = intersect.intersect_bruteforce(o, d, scene.triangles)
+    ver = traverse.intersect_bvh_pallas_verified(
+        o, d, scene.triangles, scene.bvh, tables=scene.ptables,
+        fuse_attr=True,
+    )
+    _assert_exact_up_to_conditioning(ver["t"], brute["t"])
+
+    # attrs agree with the XLA gather on the final winners
+    from raytracing_c_tpu.render.integrator import _gather_hit_geometry
+
+    hitd = {
+        "t": ver["t"], "tri": ver["tri"], "u": ver["u"], "v": ver["v"],
+        "sph": jnp.full_like(ver["tri"], -1),
+        "attrs": ver["attrs"], "attrs_stale": ver["attrs_stale"],
+    }
+    got = _gather_hit_geometry(scene, o, d, hitd, method="pallas")
+    ref = {k: hitd[k] for k in ("t", "tri", "u", "v", "sph")}
+    want = _gather_hit_geometry(scene, o, d, ref, method="topk")
+    m = np.asarray(ver["tri"]) >= 0
+    np.testing.assert_array_equal(
+        np.asarray(got["mat_id"])[m], np.asarray(want["mat_id"])[m]
+    )
+    for c in "xyz":
+        np.testing.assert_allclose(
+            np.asarray(getattr(got["normal"], c))[m],
+            np.asarray(getattr(want["normal"], c))[m],
+            rtol=1e-5, atol=1e-6,
+        )
