@@ -24,6 +24,34 @@ def _wrap01(x):
     return x - jnp.floor(x)
 
 
+def _tex_params(atlas, tid):
+    """Per-ray (width, height, tile_row, tiles_x) for tiled atlases —
+    ONE Precision.HIGHEST one-hot matmul over the (4, K) parameter table
+    instead of four per-lane gathers from tiny i32 tables. Exact: the
+    values are integers far below 2^24, and a HIGHEST one-hot
+    reconstructs stored f32 bit-exactly (traverse_pallas.LEAF_PRECISION
+    note). Falls back to gathers for K > 256 (never in practice)."""
+    import jax
+
+    k = atlas.width.shape[0]
+    if k > 256:
+        return (atlas.width[tid], atlas.height[tid],
+                atlas.tile_row[tid], atlas.tiles_x[tid])
+    table = jnp.stack(
+        [atlas.width, atlas.height, atlas.tile_row, atlas.tiles_x]
+    ).astype(jnp.float32)  # (4, K)
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (k, tid.shape[0]), 0)
+        == tid[None, :]
+    ).astype(jnp.float32)
+    got = jax.lax.dot_general(
+        table, oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)
+    return got[0], got[1], got[2], got[3]
+
+
 def _fetch(atlas, off, w, x, y) -> Vec3:
     """Fetch texel (x, y) -> Vec3 rgb in [0, 1].
 
@@ -51,17 +79,18 @@ def _fetch(atlas, off, w, x, y) -> Vec3:
     )
 
 
-def _tile_page(atlas, tid, x0, y0):
+def _tile_page(atlas, trow, tiles_x, x0, y0):
     """Gather the ONE tiled page whose 13x8 tile contains texel (x0, y0),
-    plus the in-tile lane of that texel. The page's one-texel apron holds
-    the +1 neighbors (pre-clamped at pack time, which IS the reference's
-    bilinear edge clamp, driver.c:66-67), so a whole 2x2 footprint reads
-    from this single 512-byte row."""
+    plus the in-tile lane of that texel. trow/tiles_x: the texture's
+    per-ray tile-table parameters (_tex_params). The page's one-texel
+    apron holds the +1 neighbors (pre-clamped at pack time, which IS the
+    reference's bilinear edge clamp, driver.c:66-67), so a whole 2x2
+    footprint reads from this single 512-byte row."""
     from raytracing_c_tpu.models.scene import TILE_H, TILE_W
 
     tx = x0 // TILE_W
     ty = y0 // TILE_H
-    row = atlas.tile_row[tid] + ty * atlas.tiles_x[tid] + tx
+    row = trow + ty * tiles_x + tx
     page = atlas.tpages[row]  # (R, 128) u32 row gather
     lane = (y0 - ty * TILE_H) * (TILE_W + 1) + (x0 - tx * TILE_W)
     return page, lane
@@ -90,16 +119,20 @@ def sample_nearest(atlas, tex_id, uv_u, uv_v) -> Vec3:
     """sample_texture_nearest (driver.c:31-47). tex_id: (R,) i32 (clamped to
     0 for 'no texture' lanes; callers select on tex_id >= 0)."""
     tid = jnp.maximum(tex_id, 0)
-    w = atlas.width[tid]
-    h = atlas.height[tid]
-
+    if atlas.tpages is None:  # flat-page fallback (pre-tiling atlases)
+        w = atlas.width[tid]
+        h = atlas.height[tid]
+        u = _wrap01(uv_u)
+        v = _wrap01(uv_v)
+        x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+        return _fetch(atlas, atlas.offset[tid], w, x, y)
+    w, h, trow, tx = _tex_params(atlas, tid)
     u = _wrap01(uv_u)
     v = _wrap01(uv_v)
     x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-    if atlas.tpages is None:  # flat-page fallback (pre-tiling atlases)
-        return _fetch(atlas, atlas.offset[tid], w, x, y)
-    page, lane = _tile_page(atlas, tid, x, y)
+    page, lane = _tile_page(atlas, trow, tx, x, y)
     return _lane_rgb(page, lane)
 
 
@@ -109,8 +142,11 @@ def sample_bilinear(atlas, tex_id, uv_u, uv_v) -> Vec3:
     from raytracing_c_tpu.models.scene import TILE_W
 
     tid = jnp.maximum(tex_id, 0)
-    w = atlas.width[tid]
-    h = atlas.height[tid]
+    if atlas.tpages is None:  # flat-page fallback (pre-tiling atlases)
+        w = atlas.width[tid]
+        h = atlas.height[tid]
+    else:
+        w, h, trow, tx = _tex_params(atlas, tid)
 
     px = _wrap01(uv_u) * w
     py = _wrap01(uv_v) * h
@@ -119,7 +155,7 @@ def sample_bilinear(atlas, tex_id, uv_u, uv_v) -> Vec3:
     a = px - x0
     b = py - y0
 
-    if atlas.tpages is None:  # flat-page fallback (pre-tiling atlases)
+    if atlas.tpages is None:
         off = atlas.offset[tid]
         x1 = jnp.minimum(x0 + 1, w - 1)
         y1 = jnp.minimum(y0 + 1, h - 1)
@@ -128,7 +164,7 @@ def sample_bilinear(atlas, tex_id, uv_u, uv_v) -> Vec3:
         c01 = _fetch(atlas, off, w, x0, y1)
         c11 = _fetch(atlas, off, w, x1, y1)
     else:
-        page, lane = _tile_page(atlas, tid, x0, y0)
+        page, lane = _tile_page(atlas, trow, tx, x0, y0)
         c00 = _lane_rgb(page, lane)
         c10 = _lane_rgb(page, lane + 1)
         c01 = _lane_rgb(page, lane + (TILE_W + 1))
