@@ -400,50 +400,50 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
         f = jnp.broadcast_to(leaf_ref[:, 0:1], (leaf_ref.shape[0], r))
         groups = [(f, jnp.zeros((1, r), jnp.int32), act)]
     else:
-        # Select the individually-nearest blocks (the XLA path's k_leaf
-        # rule), then greedily cover them with kp DISTINCT parent groups in
-        # rank order. Rays whose top blocks span <= kp groups get exactly
-        # the XLA selection — plus whole-group neighbors tested for free;
-        # uncovered top blocks feed the certificate instead.
-        nb = max(kp, W)  # rank this many blocks for group coverage
-        bkeys = _pack(cand_d, cand_id)
-        bsel, _brem = _extract(bkeys, nb)  # (nb, R) nearest blocks
-        bval = bsel < BIG_BITS
-        bgrp = (bsel & ID_MASK) >> 3  # canonical parent of each top block
-        bcid = jnp.concatenate(
+        # Rank whole PARENT GROUPS by their nearest block. This equals the
+        # previous block-rank + greedy-group-cover selection: greedy
+        # coverage visits blocks in distance order and fetches each new
+        # block's group, so the fetched-group sequence IS the distinct
+        # groups ordered by their own minimum block key — and ranking
+        # n_par group rows costs (n_par, R) work instead of pops +
+        # match-selects over the (8*n_par, R) block array. When the top
+        # blocks cluster into fewer than kp groups this fetches MORE
+        # distinct groups than the cover did (it ran out of ranked
+        # blocks), so coverage is never worse. Certificate: every block
+        # of every UNfetched group contributes its exact f32 entry
+        # distance via the group minimum.
+        n_par = cand_d.shape[0] // W
+        gmin_d = jnp.concatenate(
             [
-                _match_select(bkeys, bsel[i : i + 1], cand_cid)
-                for i in range(nb)
+                jnp.min(cand_d[p * W : (p + 1) * W], axis=0, keepdims=True)
+                for p in range(n_par)
             ],
             axis=0,
+        )  # (n_par, R) exact min entry distance per parent group
+        # parent canonical rel id (= any child block id >> 3) and compact
+        # leaf column, one row per parent (rows are per-parent broadcasts)
+        pgrel = jnp.concatenate(
+            [cand_id[p * W : p * W + 1] >> 3 for p in range(n_par)], axis=0
         )
-        rank_iota = _iota((nb, 1), 0) + jnp.zeros((nb, r), jnp.int32)
-
+        pgcid = jnp.concatenate(
+            [cand_cid[p * W : p * W + 1] for p in range(n_par)], axis=0
+        )
+        gkeys = _pack(gmin_d, pgrel)
+        sel, grem = _extract(gkeys, min(kp, n_par))
         groups = []
-        covered = jnp.zeros((nb, r), bool)
-        for _p in range(kp):
-            avail = bval & ~covered
-            first = jnp.min(
-                jnp.where(avail, rank_iota, MAXI), axis=0, keepdims=True
-            )
-            has = first < nb
-            oh = rank_iota == first
-            grel = jnp.sum(jnp.where(oh, bgrp, 0), axis=0, keepdims=True)
-            gcid = jnp.sum(jnp.where(oh, bcid, 0), axis=0, keepdims=True)
-            covered = covered | ((bgrp == grel) & has)
+        for k in range(sel.shape[0]):
+            row = sel[k : k + 1]
+            has = row < BIG_BITS
+            grel = row & ID_MASK
+            gcid = _match_select(gkeys, row, pgcid)
             f = _fetch_split(leaf_ref, gcid, interp)  # (576, R)
             groups.append((f, grel, has))
 
-        # exact certificate: every block whose group was NOT fetched
-        # contributes its true f32 entry distance
-        cand_grp = cand_id >> 3
-        in_fetched = jnp.zeros((cand_d.shape[0], r), bool)
-        for _f, grel, has in groups:
-            in_fetched = in_fetched | ((cand_grp == grel) & has)
         dropped = jnp.minimum(
             dropped,
             jnp.min(
-                jnp.where(in_fetched, INF, cand_d), axis=0, keepdims=True
+                jnp.where(grem != MAXI, gmin_d, INF),
+                axis=0, keepdims=True,
             ),
         )
 
