@@ -142,28 +142,32 @@ def _pack(dist, ids):
     return (bits & ~ID_MASK) | ids
 
 
-def _extract(keys, n):
+def _extract(keys, n, payload=None):
     """Pop the n smallest keys of a (C, R) int32 key array, one min-reduce
     per pop (the reference's nearest-first selection loop,
-    raytracer.c:459-474, made rank-based). Returns ((n, R) keys, remaining).
-    Valid keys are unique (id bits), so `== m` masks exactly one entry.
-    `remaining` is the INPUT array with popped entries masked to MAXI in
-    place, so callers can recover the un-rounded f32 distance of every
-    unselected candidate (the exact certificate) by masking the original
-    distances with `remaining != MAXI`."""
-    sels = []
+    raytracer.c:459-474, made rank-based). Returns ((n, R) keys, remaining)
+    — plus the popped entries' (n, R) `payload` values when given (the
+    pop's one-hot mask extracts them for free; a separate _match_select
+    would recompute every mask). Valid keys are unique (id bits), so
+    `== m` masks exactly one entry. `remaining` is the INPUT array with
+    popped entries masked to MAXI in place, so callers can recover the
+    un-rounded f32 distance of every unselected candidate (the exact
+    certificate) by masking the original distances with
+    `remaining != MAXI`."""
+    sels, pays = [], []
     for _ in range(n):
         m = jnp.min(keys, axis=0, keepdims=True)
         sels.append(m)
-        keys = jnp.where(keys == m, MAXI, keys)
-    return jnp.concatenate(sels, axis=0), keys
-
-
-def _match_select(keys, sel_row, values):
-    """Recover `values` of the candidate whose key equals sel_row: one-hot
-    over the candidate axis (cheap — C <= 128 rows)."""
-    oh = keys == sel_row
-    return jnp.sum(jnp.where(oh, values, 0), axis=0, keepdims=True)
+        mask = keys == m
+        if payload is not None:
+            pays.append(
+                jnp.sum(jnp.where(mask, payload, 0), axis=0, keepdims=True)
+            )
+        keys = jnp.where(mask, MAXI, keys)
+    sel = jnp.concatenate(sels, axis=0)
+    if payload is not None:
+        return sel, keys, jnp.concatenate(pays, axis=0)
+    return sel, keys
 
 
 def _slab48(rows, o, inv, tmax):
@@ -350,7 +354,7 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
 
         n = min(ksel, cand_d.shape[0])
         keys = _pack(cand_d, cand_id)
-        sel, rem = _extract(keys, n)
+        sel, rem, sel_cid = _extract(keys, n, payload=cand_cid)
         # certificate from the EXACT f32 distances of the unselected
         # candidates (decoding the rounded keys instead costs ~0.01%
         # round-down, which near-ties on surface meshes trip constantly)
@@ -363,13 +367,6 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
         )
         sel_ids = sel & ID_MASK  # (n, R)
         sel_valid = sel < BIG_BITS
-        sel_cid = jnp.concatenate(
-            [
-                _match_select(keys, sel[k : k + 1], cand_cid)
-                for k in range(n)
-            ],
-            axis=0,
-        )
 
         last = li == depth - 2
         new_d, new_id, new_cid = [], [], []
@@ -429,14 +426,13 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
             [cand_cid[p * W : p * W + 1] for p in range(n_par)], axis=0
         )
         gkeys = _pack(gmin_d, pgrel)
-        sel, grem = _extract(gkeys, min(kp, n_par))
+        sel, grem, gcids = _extract(gkeys, min(kp, n_par), payload=pgcid)
         groups = []
         for k in range(sel.shape[0]):
             row = sel[k : k + 1]
             has = row < BIG_BITS
             grel = row & ID_MASK
-            gcid = _match_select(gkeys, row, pgcid)
-            f = _fetch_split(leaf_ref, gcid, interp)  # (576, R)
+            f = _fetch_split(leaf_ref, gcids[k : k + 1], interp)  # (576, R)
             groups.append((f, grel, has))
 
         dropped = jnp.minimum(
