@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from raytracing_c_tpu.models.scene import SHADER_DEBUG_NORMAL
-from raytracing_c_tpu.ops import texture
+from raytracing_c_tpu.ops import onehot, texture
 from raytracing_c_tpu.utils import color
 from raytracing_c_tpu.utils.vec3 import Vec3
 
@@ -359,21 +359,10 @@ def shade(scene, direction: Vec3, normal: Vec3, normal_geo: Vec3,
     mid = jnp.maximum(mat_id, 0)
     rows = scene.materials.rows
     if rows.shape[0] <= 256:
-        # one-hot MXU fetch: (128, n_mats) x onehot(n_mats, R) -> (128, R)
-        # batch-minor directly — no per-lane row gather and no (R, 128) ->
-        # (128, R) relayout. Precision.HIGHEST reconstructs stored f32
-        # exactly (the platform default is bf16-grade; see
-        # traverse_pallas.LEAF_PRECISION); at n_mats <= 256 the 6-pass
-        # cost is < 0.2 M MAC/ray — noise next to the traversal fetches.
-        oh = (
-            jax.lax.broadcasted_iota(jnp.int32, (rows.shape[0], mid.shape[0]), 0)
-            == mid[None, :]
-        ).astype(jnp.float32)
-        m = jax.lax.dot_general(
-            jnp.transpose(rows), oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # exact one-hot MXU fetch, batch-minor directly — no per-lane row
+        # gather and no (R, 128) -> (128, R) relayout; < 0.2 M MAC/ray at
+        # n_mats <= 256 (ops/onehot.py holds the precision invariant)
+        m = onehot.fetch_rows_exact(jnp.transpose(rows), mid)
     else:
         # huge material tables: per-ray 512-byte row gather fast path
         m = jnp.transpose(rows[mid])  # (128, R)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from raytracing_c_tpu.ops import onehot
 from raytracing_c_tpu.utils.vec3 import Vec3
 
 
@@ -26,29 +27,17 @@ def _wrap01(x):
 
 def _tex_params(atlas, tid):
     """Per-ray (width, height, tile_row, tiles_x) for tiled atlases —
-    ONE Precision.HIGHEST one-hot matmul over the (4, K) parameter table
-    instead of four per-lane gathers from tiny i32 tables. Exact: the
-    values are integers far below 2^24, and a HIGHEST one-hot
-    reconstructs stored f32 bit-exactly (traverse_pallas.LEAF_PRECISION
-    note). Falls back to gathers for K > 256 (never in practice)."""
-    import jax
-
-    k = atlas.width.shape[0]
-    if k > 256:
+    ONE exact one-hot matmul over the (4, K) parameter table instead of
+    four per-lane gathers from tiny i32 tables (integers far below 2^24;
+    ops/onehot.py holds the precision invariant). Falls back to gathers
+    for K > 256 (never in practice)."""
+    if atlas.width.shape[0] > 256:
         return (atlas.width[tid], atlas.height[tid],
                 atlas.tile_row[tid], atlas.tiles_x[tid])
     table = jnp.stack(
         [atlas.width, atlas.height, atlas.tile_row, atlas.tiles_x]
     ).astype(jnp.float32)  # (4, K)
-    oh = (
-        jax.lax.broadcasted_iota(jnp.int32, (k, tid.shape[0]), 0)
-        == tid[None, :]
-    ).astype(jnp.float32)
-    got = jax.lax.dot_general(
-        table, oh, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(jnp.int32)
+    got = onehot.fetch_rows_exact(table, tid).astype(jnp.int32)
     return got[0], got[1], got[2], got[3]
 
 

@@ -524,7 +524,10 @@ def intersect_bvh_pallas_verified(
 
     Scenes whose tables re-rooted into a ForestTables (depth > 4 or over
     the VMEM budget) run every tier through the subtree-chained forest
-    traversal — same certificate, same escalation.
+    traversal — same certificate, same escalation. fuse_attr currently
+    applies to MONOLITHIC tables only: the forest path ignores it (no
+    "attrs" in the result) and consumers fall back to the per-subtree
+    attr kernel (fetch_attrs_forest).
     """
     from raytracing_c_tpu.ops import traverse_pallas as tp
 
@@ -549,6 +552,7 @@ def intersect_bvh_pallas_verified(
     hit = tier0(origin, direction, active, kp, 8, fuse_attr)
     attrs = hit.pop("attrs", None)  # tier-0 winners' attrs (fused path)
     t0_t, t0_tri = hit["t"], hit["tri"]
+    t0_u, t0_v = hit["u"], hit["v"]
     suspect = hit.pop("dropped_min") < hit["t"]
     if active is not None:
         suspect = suspect & active
@@ -578,12 +582,19 @@ def intersect_bvh_pallas_verified(
         hit, suspect, wide_exact, origin, direction, s_cap
     )
     if attrs is not None:
-        # fused attrs describe tier-0's winners; flag lanes the repair
-        # changed so the consumer can refetch exactly those (rare:
-        # suspects are ~0.5% and most verify unchanged)
+        # fused attrs describe tier-0's winners; flag lanes where the
+        # repair changed ANY hit field so the consumer can refetch
+        # exactly those (rare: suspects ~0.5%, most verify unchanged).
+        # u/v matter independently of t/tri: an equal-t re-find of the
+        # same triangle can carry differently-scheduled barycentrics
+        # (the grazing-hit conditioning class) and the interpolated
+        # attrs must match the RETURNED u/v.
         merged["attrs"] = attrs
-        merged["attrs_stale"] = (merged["tri"] != t0_tri) | (
-            merged["t"] != t0_t
+        merged["attrs_stale"] = (
+            (merged["tri"] != t0_tri)
+            | (merged["t"] != t0_t)
+            | (merged["u"] != t0_u)
+            | (merged["v"] != t0_v)
         )
     return merged
 
@@ -610,7 +621,9 @@ def intersect_scene(
     # +21 ms per 262k intersect in the batch profile)
     if method == "pallas_fused":
         # fused attr interpolation inside the traversal kernel; results
-        # carry "attrs"/"attrs_stale" for _gather_hit_geometry
+        # carry "attrs"/"attrs_stale" for _gather_hit_geometry. Forest
+        # scenes ignore the fusion (see intersect_bvh_pallas_verified)
+        # and degrade to the separate attr kernel.
         method, fuse_attr = "pallas", True
     if method == "pallas":
         kw = {} if k_pallas is None else {"kp": k_pallas}

@@ -16,8 +16,8 @@ Structure per ray tile (helmet.glb: depth 4):
   select-8 -> fetch node rows (G~64)  + slab  -> 64 level-3 candidates
   select-8 -> fetch node rows (G~256) + slab  -> 64 leaf-block candidates
                                            (8 sibling blocks x 8 parents)
-  rank top blocks individually, greedily cover them with kp DISTINCT
-  parent groups -> fetch kp leaf super-rows (576 x G~256, f32)
+  rank parent groups by their nearest block (== greedy block-order group
+  cover) -> fetch kp leaf super-rows (split-bf16, 1728 x G~256)
   Moller-Trumbore on kp*64 triangles  -> best (t, u, v, tri) + certificate
 
 Escalation passes rerun the same kernel with wider selection (ksel=16
@@ -268,8 +268,22 @@ def _split3(x: np.ndarray) -> np.ndarray:
     return np.concatenate([hi, mid, lo], axis=0).astype(jnp.bfloat16)
 
 
+def _split_any(x):
+    """_split3 for whatever build_tables gets handed: concrete arrays go
+    through the HOST splitter (keeping its exactness assert); only true
+    tracers take the unguarded traced form."""
+    if isinstance(x, jax.core.Tracer):
+        return _split3_traced(x)
+    return jnp.asarray(_split3(np.asarray(x)))
+
+
 def _split3_traced(x):
-    """Traced (jnp) form of _split3 for the uncompacted fallback build."""
+    """Traced (jnp) form of _split3 for the uncompacted fallback build
+    under tracing. CAVEAT: no exactness guard is possible at trace time —
+    a table value whose low plane is bf16-subnormal (|x| ~< 2^-110) or
+    non-finite would split lossily and silently; _split3's assert rejects
+    those on every concrete path (geometry at that scale does not occur,
+    and empty slots are exact zeros)."""
     if SPLIT_MODE == "int8x4":
         b = jax.lax.bitcast_convert_type(x, jnp.uint32)
         planes = [
@@ -719,7 +733,7 @@ def build_tables(triangles, bvh) -> PallasTables:
         t = jnp.zeros((NROWS, _round_up(g)), jnp.float32)
         t = t.at[: 6 * W, :g].set(jnp.transpose(nodes[s : s + g, : 6 * W]))
         t = t.at[48:56, :].set(jnp.asarray(child_const(g, lvl)))
-        levels.append(t if lvl == 1 else _split3_traced(t))
+        levels.append(t if lvl == 1 else _split_any(t))
 
     n_groups = max(triangles.leaf_rows.shape[0] // W, 1)
     lr = triangles.leaf_rows.reshape(n_groups, W, 16, W)[:, :, :9, :]
@@ -727,7 +741,7 @@ def build_tables(triangles, bvh) -> PallasTables:
     sup = jnp.zeros((9 * W * W, _round_up(n_groups)), jnp.float32)
     sup = sup.at[:, :n_groups].set(arr)
     if depth > 1:
-        sup = _split3_traced(sup)
+        sup = _split_any(sup)
 
     return PallasTables(root=root, levels=tuple(levels), leaf=sup,
                         attr=None, gmap=None, depth=depth)
@@ -896,12 +910,12 @@ def _interp_attrs(depth, interp, gmap_ref, attr_ref, tri, u, v):
         oh_can = (_iota((gmap_ref.shape[1], r), 0) == g_can).astype(
             jnp.float32
         )
-        # HIGHEST: gmap holds integer column ids > 256, which the
-        # platform-default bf16 matmul ROUNDS (see LEAF_PRECISION)
+        # LEAF_PRECISION (= HIGHEST): gmap holds integer column ids > 256,
+        # which the platform-default bf16 matmul ROUNDS
         cid = jax.lax.dot_general(
             gmap_ref[0:1, :], oh_can, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=LEAF_PRECISION,
         ).astype(jnp.int32)
     else:
         cid = jnp.zeros((1, r), jnp.int32)

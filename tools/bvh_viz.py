@@ -195,9 +195,11 @@ def _hsv_level_color(depth_shown: int, tree_depth: int):
 
 
 def _raster_frame(level_corners, color, eye, target, width, height,
-                  fovy_deg=45.0):
+                  fovy_deg=45.0, cell_aspect=1.0):
     """Rasterize one level's box edges into an (H, W, 3) u8 buffer with a
-    look-at pinhole camera (the raylib camera's perspective model)."""
+    look-at pinhole camera (the raylib camera's perspective model).
+    cell_aspect: pixel width/height ratio — 1.0 for square pixels (PNG
+    snapshots); ~0.5 for terminal half-blocks (cells are ~2x tall)."""
     buf = np.zeros((height, width, 3), np.float32)
     corners = level_corners
     if len(corners) == 0:
@@ -209,7 +211,7 @@ def _raster_frame(level_corners, color, eye, target, width, height,
     right /= max(np.linalg.norm(right), 1e-9)
     up = np.cross(right, fwd)
     f = 1.0 / np.tan(np.radians(fovy_deg) / 2)
-    aspect = width / height / 2.0  # half: terminal cells are ~2x tall
+    aspect = width / height * cell_aspect
 
     pts = corners.reshape(-1, 3) - eye
     cx = pts @ right
@@ -268,7 +270,7 @@ def interactive(scene, snapshot: str | None = None):
     radius = float(np.linalg.norm(all_pts.max(0) - all_pts.min(0)))
     state = {"show": depth - 1, "az": 0.8, "el": 0.5, "r": 1.6 * radius}
 
-    def frame(width, height):
+    def frame(width, height, cell_aspect=1.0):
         eye = center + state["r"] * np.array([
             np.cos(state["el"]) * np.sin(state["az"]),
             np.sin(state["el"]),
@@ -276,8 +278,8 @@ def interactive(scene, snapshot: str | None = None):
         ])
         show = int(np.clip(state["show"], 0, depth - 1))
         color = _hsv_level_color(show + 1, depth)
-        return _raster_frame(levels[show], color, eye, center,
-                             width, height), show
+        return _raster_frame(levels[show], color, eye, center, width,
+                             height, cell_aspect=cell_aspect), show
 
     if snapshot is not None:
         from PIL import Image
@@ -302,7 +304,7 @@ def interactive(scene, snapshot: str | None = None):
         while True:
             cols, rows = shutil.get_terminal_size()
             w, h = cols, 2 * (rows - 1)
-            buf, show = frame(w, h)
+            buf, show = frame(w, h, cell_aspect=0.5)  # half-block cells
             sys.stdout.write(_ansi_draw(buf))
             sys.stdout.write(
                 f"\n\x1b[0mlevel {show}/{depth - 1} "
@@ -356,27 +358,11 @@ def main(argv):
         interactive(_load(path), snapshot=snap)
         return
     if len(argv) >= 3 and argv[1] == "--overlay":
-        if path.endswith(".npz"):
-            from raytracing_c_tpu.models.serialization import load_scene_cache
-
-            scene = load_scene_cache(path)
-        else:
-            from raytracing_c_tpu.io.loader import load_scene
-
-            scene = load_scene(path, background_path=None,
-                               warn=lambda *a: None)
         size = int(argv[3]) if len(argv) > 3 else 512
-        overlay_levels(scene, argv[2], size)
+        overlay_levels(_load(path), argv[2], size)
         return
     out = argv[1] if len(argv) > 1 else "bvh_wireframe.obj"
-    if path.endswith(".npz"):
-        from raytracing_c_tpu.models.serialization import load_scene_cache
-
-        scene = load_scene_cache(path)
-    else:
-        from raytracing_c_tpu.io.loader import load_scene
-
-        scene = load_scene(path, background_path=None, warn=lambda *a: None)
+    scene = _load(path)
     stats = dump_bvh_obj(scene, out)
     total = sum(stats.values())
     print(f"wrote {out}: depth={scene.bvh.depth}, "

@@ -56,7 +56,9 @@ def serial_loop(intersect):
     def run(o, d):
         def body(i, carry):
             t, ox = carry
-            oo = Vec3(ox + t * 0.0, o.y, o.z)
+            # min() keeps the carry finite: miss lanes return t = INF and
+            # INF * 0.0 = NaN would poison iterations 2..N
+            oo = Vec3(ox + jnp.minimum(t, 1.0) * 0.0, o.y, o.z)
             h = intersect(oo, d)
             return h["t"], ox
 

@@ -44,7 +44,9 @@ def serial_loop(fn):
     def run(o, d, act):
         def body(i, carry):
             t, ox = carry
-            oo = Vec3(ox + t * 0.0, o.y, o.z)
+            # min() keeps the carry finite: miss lanes return t = INF and
+            # INF * 0.0 = NaN would poison iterations 2..N
+            oo = Vec3(ox + jnp.minimum(t, 1.0) * 0.0, o.y, o.z)
             return fn(oo, d, act), ox
 
         t, _ = jax.lax.fori_loop(
