@@ -539,10 +539,12 @@ def intersect_bvh_pallas_verified(
             )
     else:
         def tier0(o, d, act, kp_, ksel_, fuse=False):
-            # wide (ksel=16/kp=16) passes halve the ray tile: their
-            # per-tile scratch at the exact-fetch precision (16 HIGHEST
-            # leaf fetches + 16-wide candidate buffers) overflows the
-            # 16 MB scoped-VMEM limit at tile=1024 (measured on tower)
+            # wide (ksel=16/kp=16) passes run a smaller ray tile: their
+            # per-tile scratch (16 exact leaf fetches + 16-wide candidate
+            # buffers) overflowed the 16 MB scoped-VMEM limit at
+            # tile=1024 under the 6-pass HIGHEST fetches (measured on
+            # tower); the split-table fetches shrink that scratch and a
+            # larger tile may fit again — tile sweep in tools/split_ab.py
             return tp.intersect_bvh_pallas(
                 o, d, triangles, bvh, act, kp=kp_, ksel=ksel_,
                 tables=tables, tile=256 if ksel_ > 8 else None,
