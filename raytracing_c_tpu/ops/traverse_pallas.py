@@ -409,7 +409,8 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
         # single group: the root's children ARE the blocks (scene.c:224-233
         # clamped to depth >= 1 — see models/bvh.py). Static fetch.
         f = jnp.broadcast_to(leaf_ref[:, 0:1], (leaf_ref.shape[0], r))
-        groups = [(f, jnp.zeros((1, r), jnp.int32), act)]
+        zero_cid = jnp.zeros((1, r), jnp.int32)
+        groups = [(f, zero_cid, act, zero_cid)]
     else:
         # Rank whole PARENT GROUPS by their nearest block. This equals the
         # previous block-rank + greedy-group-cover selection: greedy
@@ -446,8 +447,9 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
             row = sel[k : k + 1]
             has = row < BIG_BITS
             grel = row & ID_MASK
-            f = _fetch_split(leaf_ref, gcids[k : k + 1], interp)  # (576, R)
-            groups.append((f, grel, has))
+            gcid = gcids[k : k + 1]
+            f = _fetch_split(leaf_ref, gcid, interp)  # (576, R)
+            groups.append((f, grel, has, gcid))
 
         dropped = jnp.minimum(
             dropped,
@@ -463,7 +465,7 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
     best_u = jnp.zeros((1, r), jnp.float32)
     best_v = jnp.zeros((1, r), jnp.float32)
     tri_iota = _iota((W * W, 1), 0)
-    for f, grel, gval in groups:
+    for f, grel, gval, _gcid in groups:
         v0 = Vec3(f[0:64], f[64:128], f[128:192])
         e1 = Vec3(f[192:256], f[256:320], f[320:384])
         e2 = Vec3(f[384:448], f[448:512], f[512:576])
@@ -500,9 +502,17 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
         axis=0,
     )
     if fuse:
+        # the winner's compact attr column is in hand: its group is one
+        # of the just-fetched kp groups — match its canonical rel id
+        # instead of paying the gmap one-hot over all canonical groups
+        # (miss lanes match nothing -> column 0, masked downstream)
+        wg = best_tri >> 6
+        win_cid = jnp.zeros_like(wg)
+        for _f, grel, has, gcid in groups:
+            win_cid = jnp.where((grel == wg) & has, gcid, win_cid)
         attrs = _interp_attrs(
             depth, interp, gmap_ref, attr_ref,
-            jnp.maximum(best_tri, 0), best_u, best_v,
+            jnp.maximum(best_tri, 0), best_u, best_v, cid=win_cid,
         )
         out_ref[:] = jnp.concatenate([hit_rows, attrs], axis=0)
     else:
@@ -893,7 +903,7 @@ def intersect_bvh_pallas_forest(
     return best
 
 
-def _interp_attrs(depth, interp, gmap_ref, attr_ref, tri, u, v):
+def _interp_attrs(depth, interp, gmap_ref, attr_ref, tri, u, v, cid=None):
     """Shared attribute fetch + interpolation core: one-hot matmul against
     the VMEM-resident attr super table (canonical group -> compact column
     via `gmap`, then a 64-wide position select), interpolation matching
@@ -905,20 +915,24 @@ def _interp_attrs(depth, interp, gmap_ref, attr_ref, tri, u, v):
     r = tri.shape[-1]
     w = 1.0 - u - v
 
-    if depth > 1:
-        g_can = tri >> 6
-        oh_can = (_iota((gmap_ref.shape[1], r), 0) == g_can).astype(
-            jnp.float32
-        )
-        # LEAF_PRECISION (= HIGHEST): gmap holds integer column ids > 256,
-        # which the platform-default bf16 matmul ROUNDS
-        cid = jax.lax.dot_general(
-            gmap_ref[0:1, :], oh_can, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=LEAF_PRECISION,
-        ).astype(jnp.int32)
-    else:
-        cid = jnp.zeros((1, r), jnp.int32)
+    if cid is None:
+        if depth > 1:
+            g_can = tri >> 6
+            oh_can = (_iota((gmap_ref.shape[1], r), 0) == g_can).astype(
+                jnp.float32
+            )
+            # LEAF_PRECISION (= HIGHEST): gmap holds integer column ids
+            # > 256, which the platform-default bf16 matmul ROUNDS. The
+            # FUSED traversal path passes `cid` directly (the winner's
+            # group was just fetched, its compact column is in hand) and
+            # never pays this.
+            cid = jax.lax.dot_general(
+                gmap_ref[0:1, :], oh_can, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=LEAF_PRECISION,
+            ).astype(jnp.int32)
+        else:
+            cid = jnp.zeros((1, r), jnp.int32)
     cols = _fetch_split(attr_ref, cid, interp)  # (1600, r)
 
     pos = tri & 63
