@@ -524,10 +524,8 @@ def intersect_bvh_pallas_verified(
 
     Scenes whose tables re-rooted into a ForestTables (depth > 4 or over
     the VMEM budget) run every tier through the subtree-chained forest
-    traversal — same certificate, same escalation. fuse_attr currently
-    applies to MONOLITHIC tables only: the forest path ignores it (no
-    "attrs" in the result) and consumers fall back to the per-subtree
-    attr kernel (fetch_attrs_forest).
+    traversal — same certificate, same escalation, and the same fused
+    "attrs" contract (the merge selects the winning subtree's planes).
     """
     from raytracing_c_tpu.ops import traverse_pallas as tp
 
@@ -535,7 +533,7 @@ def intersect_bvh_pallas_verified(
         def tier0(o, d, act, kp_, ksel_, fuse=False):
             return tp.intersect_bvh_pallas_forest(
                 o, d, tables, act, kp=kp_, ksel=ksel_,
-                tile=256 if ksel_ > 8 else None,
+                tile=256 if ksel_ > 8 else None, fuse_attr=fuse,
             )
     else:
         def tier0(o, d, act, kp_, ksel_, fuse=False):
@@ -623,9 +621,8 @@ def intersect_scene(
     # +21 ms per 262k intersect in the batch profile)
     if method == "pallas_fused":
         # fused attr interpolation inside the traversal kernel; results
-        # carry "attrs"/"attrs_stale" for _gather_hit_geometry. Forest
-        # scenes ignore the fusion (see intersect_bvh_pallas_verified)
-        # and degrade to the separate attr kernel.
+        # carry "attrs"/"attrs_stale" for _gather_hit_geometry (both
+        # monolithic and forest tables)
         method, fuse_attr = "pallas", True
     if method == "pallas":
         kw = {} if k_pallas is None else {"kp": k_pallas}

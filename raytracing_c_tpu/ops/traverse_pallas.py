@@ -860,10 +860,13 @@ def intersect_bvh_pallas(
 def intersect_bvh_pallas_forest(
     origin: Vec3, direction: Vec3, forest: ForestTables, active=None,
     kp: int = 2, ksel: int = 8, t_max=None, interpret: bool | None = None,
-    tile: int | None = None,
+    tile: int | None = None, fuse_attr: bool = False,
 ):
     """Run the fused kernel once per subtree, threading the running best
-    hit in as each call's per-ray t_max bound. Exactness of the merge:
+    hit in as each call's per-ray t_max bound. fuse_attr: each subtree
+    interpolates its winners' attrs in-kernel and the merge selects the
+    winning subtree's planes — same "attrs" contract as the monolithic
+    path. Exactness of the merge:
 
     - a subtree candidate pruned by t_max entered at >= t_max >= final
       best t, so it cannot contain a STRICTLY closer hit — dropping it
@@ -885,13 +888,14 @@ def intersect_bvh_pallas_forest(
         hit = intersect_bvh_pallas(
             origin, direction, None, None, active, kp=kp, ksel=ksel,
             t_max=bound, tables=st, interpret=interpret, tile=tile,
+            fuse_attr=fuse_attr,
         )
         hit["tri"] = jnp.where(hit["tri"] >= 0, hit["tri"] + base, -1)
         if best is None:
             best = hit
         else:
             wins = hit["t"] < best["t"]
-            best = {
+            merged = {
                 "t": jnp.where(wins, hit["t"], best["t"]),
                 "u": jnp.where(wins, hit["u"], best["u"]),
                 "v": jnp.where(wins, hit["v"], best["v"]),
@@ -900,6 +904,11 @@ def intersect_bvh_pallas_forest(
                     hit["dropped_min"], best["dropped_min"]
                 ),
             }
+            if "attrs" in hit:
+                merged["attrs"] = jnp.where(
+                    wins[None, :], hit["attrs"], best["attrs"]
+                )
+            best = merged
     return best
 
 

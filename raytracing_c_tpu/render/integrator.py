@@ -55,7 +55,12 @@ def _gather_hit_geometry(scene, origin: Vec3, direction: Vec3, hit,
         stale = hit["attrs_stale"]
 
         def _refetch(_):
-            g2 = tp.fetch_attrs(ptables, hit["tri"], hit["u"], hit["v"])
+            if isinstance(ptables, tp.ForestTables):
+                g2 = tp.fetch_attrs_forest(
+                    ptables, hit["tri"], hit["u"], hit["v"]
+                )
+            else:
+                g2 = tp.fetch_attrs(ptables, hit["tri"], hit["u"], hit["v"])
             return {
                 k: (
                     Vec3.where(stale, g2[k], fused[k])

@@ -140,3 +140,53 @@ def test_forest_attrs_match_xla_gather(rng):
     np.testing.assert_array_equal(
         np.asarray(got["mat_id"])[m], np.asarray(want["mat_id"])[m]
     )
+
+
+def test_forest_fused_attrs_match_xla_gather(rng):
+    """Forest + fuse_attr: the merged in-kernel attrs (with stale-lane
+    refetch) must reproduce the XLA gather for the final winners."""
+    from raytracing_c_tpu.render.integrator import _gather_hit_geometry
+
+    mesh = random_mesh(2000, rng)
+    scene = simple_scene(mesh)
+    forest = _forest_of(scene)
+
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+    ver = traverse.intersect_bvh_pallas_verified(
+        o, d, scene.triangles, scene.bvh, tables=forest, fuse_attr=True,
+    )
+    assert "attrs" in ver and "attrs_stale" in ver
+
+    class S:  # scene view with the forest as ptables (refetch dispatch)
+        pass
+
+    s = S()
+    for k in ("triangles", "bvh", "spheres", "materials", "atlas"):
+        setattr(s, k, getattr(scene, k))
+    s.ptables = forest
+
+    hitd = {
+        "t": ver["t"], "tri": ver["tri"], "u": ver["u"], "v": ver["v"],
+        "sph": jnp.full_like(ver["tri"], -1),
+        "attrs": ver["attrs"], "attrs_stale": ver["attrs_stale"],
+    }
+    got = _gather_hit_geometry(s, o, d, hitd, method="pallas")
+    ref = {k: hitd[k] for k in ("t", "tri", "u", "v", "sph")}
+    want = _gather_hit_geometry(scene, o, d, ref, method="topk")
+    m = np.asarray(ver["tri"]) >= 0
+    np.testing.assert_array_equal(
+        np.asarray(got["mat_id"])[m], np.asarray(want["mat_id"])[m]
+    )
+    for k in ("normal", "ng", "uv_u"):
+        ga, wa = got[k], want[k]
+        if hasattr(ga, "x"):
+            for c in "xyz":
+                np.testing.assert_allclose(
+                    np.asarray(getattr(ga, c))[m],
+                    np.asarray(getattr(wa, c))[m], rtol=1e-5, atol=1e-6,
+                )
+        else:
+            np.testing.assert_allclose(
+                np.asarray(ga)[m], np.asarray(wa)[m], rtol=1e-5, atol=1e-6
+            )
