@@ -235,3 +235,17 @@ for mode in ("bf16x3", "int8x4"):
         except Exception as e:
             print(f"[{mode}] WIDE tile={tile} FAILED: {type(e).__name__}",
                   flush=True)
+    # tier-0 ray-tile sweep (R_TILE default is 1024; bigger tiles mean
+    # fewer grid steps if the per-tile working set still fits VMEM)
+    for tile in (1024, 2048):
+        try:
+            timed(
+                f"[{mode}] camera tier0 kp=4 tile={tile}",
+                lambda o, d, a, pt=pt, tile=tile: tp.intersect_bvh_pallas(
+                    o, d, tris, bvh, a, kp=4, tables=pt, tile=tile,
+                )["t"],
+                o_cam, d_cam, act_cam,
+            )
+        except Exception as e:
+            print(f"[{mode}] tier0 tile={tile} FAILED: {type(e).__name__}",
+                  flush=True)
