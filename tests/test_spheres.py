@@ -58,3 +58,36 @@ def test_sphere_shading_normal():
     np.testing.assert_allclose(
         np.asarray(rad.to_array())[0], [0.5, 0.5, 1.0], atol=1e-4
     )
+
+
+def test_fused_attrs_with_sphere_override_bit_identical():
+    """bounce_step(method='pallas_fused') must stay bit-identical to
+    'pallas' on a scene where SPHERE hits override the fused triangle
+    attrs (_gather_hit_geometry's sphere pass)."""
+    from raytracing_c_tpu.utils.vec3 import Vec3
+
+    scene = _scene_with_sphere()
+    R = 256
+    rng = np.random.default_rng(11)
+    o = np.zeros((R, 3), np.float32)
+    o[:, 2] = 3.0
+    d = rng.normal(0, 0.25, (R, 3)).astype(np.float32)
+    d[:, 2] = -1.0
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ov, dv = vec3_of(o), vec3_of(d)
+    st0 = {
+        "origin": ov, "direction": dv,
+        "throughput": Vec3.full((R,), 1.0), "radiance": Vec3.zeros((R,)),
+        "active": jnp.ones((R,), bool), "rays": jnp.float32(0.0),
+    }
+    u = jax.random.uniform(jax.random.PRNGKey(7), (4, R), jnp.float32)
+    a = integrator.bounce_step(scene, dict(st0), u, method="pallas")
+    b = integrator.bounce_step(scene, dict(st0), u, method="pallas_fused")
+    for k in ("origin", "direction", "throughput", "radiance"):
+        for c in "xyz":
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a[k], c)), np.asarray(getattr(b[k], c))
+            )
+    np.testing.assert_array_equal(
+        np.asarray(a["active"]), np.asarray(b["active"])
+    )
