@@ -362,3 +362,33 @@ def test_int8x4_tables_full_traversal_exact(rng, monkeypatch):
             np.asarray(getattr(want["normal"], c))[m],
             rtol=1e-5, atol=1e-6,
         )
+
+
+def test_certificate_sound_at_kp1(rng):
+    """kp=1 fetches ONE leaf group per ray — maximum certificate pressure
+    for the group-ranked selection: every wrong/missed hit must carry
+    dropped_min < t (no silent truncation), and the verified wrapper must
+    still be oracle-exact from this weakest tier-0."""
+    mesh = random_mesh(3000, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(768, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+    brute = intersect.intersect_bruteforce(o, d, scene.triangles)
+
+    pal = tp.intersect_bvh_pallas(
+        o, d, scene.triangles, scene.bvh, kp=1, tables=scene.ptables
+    )
+
+    def fin(a):
+        return np.where(np.isfinite(a), a, 1e30)
+
+    got, want = fin(np.asarray(pal["t"])), fin(np.asarray(brute["t"]))
+    tight = np.isclose(got, want, rtol=1e-5, atol=1e-6)
+    loose = np.isclose(got, want, rtol=1e-2, atol=1e-4)
+    suspect = np.asarray(pal["dropped_min"]) < np.asarray(pal["t"])
+    assert not (~tight & ~suspect & ~loose).any()
+
+    ver = traverse.intersect_bvh_pallas_verified(
+        o, d, scene.triangles, scene.bvh, kp=1, tables=scene.ptables
+    )
+    _assert_exact_up_to_conditioning(ver["t"], brute["t"])
