@@ -53,6 +53,7 @@ def parse_args(argv: list[str]):
         "load_scene": None,
         "profile": None,
         "texture_mode": "bilinear",
+        "method": None,  # --method: force a traversal method (default auto)
     }
     i = 0
     while i < len(argv):
@@ -77,13 +78,20 @@ def parse_args(argv: list[str]):
             cfg["background"] = None
             i += 1
         elif a in ("--seed", "--bg", "--batch-pixels", "--tonemap",
-                   "--save-scene", "--load-scene", "--profile"):
+                   "--save-scene", "--load-scene", "--profile",
+                   "--method"):
             if i + 1 >= len(argv):
                 return None
             key = a[2:].replace("-", "_")
             if a == "--bg":
                 key = "background"
             v = argv[i + 1]
+            if a == "--method" and v not in (
+                "auto", "pallas", "pallas_fused", "pallas_fast", "topk",
+                "topk_fast", "dfs", "brute",
+            ):
+                print(f"unknown --method '{v}'", file=sys.stderr)
+                return None
             if a == "--tonemap" and v not in ("aces", "reinhard"):
                 return None
             cfg[key] = int(v) if a in ("--seed", "--batch-pixels") else v
@@ -183,7 +191,10 @@ def main(argv: list[str] | None = None) -> int:
         max_bounces=cfg["max_bounces"],
         seed=cfg["seed"],
         batch_pixels=cfg["batch_pixels"],
-        method=("brute" if cfg["brute_force"] else "auto"),
+        method=(
+            cfg.get("method")
+            or ("brute" if cfg["brute_force"] else "auto")
+        ),
         texture_mode=cfg["texture_mode"],
         progress=bar,
         rr=cfg["rr"],
