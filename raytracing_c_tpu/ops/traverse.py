@@ -540,9 +540,9 @@ def intersect_bvh_pallas_verified(
             # wide (ksel=16/kp=16) passes run a smaller ray tile: their
             # per-tile scratch (16 exact leaf fetches + 16-wide candidate
             # buffers) overflowed the 16 MB scoped-VMEM limit at
-            # tile=1024 under the 6-pass HIGHEST fetches (measured on
-            # tower); the split-table fetches shrink that scratch and a
-            # larger tile may fit again — tile sweep in tools/split_ab.py
+            # tile=1024 under the 6-pass HIGHEST fetches. The r3 split-
+            # table tile sweep (tools/split_ab.py, int8x4) confirmed 256
+            # stays fastest: 24.1 ms vs 27.2 (512) / 25.9 (1024).
             return tp.intersect_bvh_pallas(
                 o, d, triangles, bvh, act, kp=kp_, ksel=ksel_,
                 tables=tables, tile=256 if ksel_ > 8 else None,

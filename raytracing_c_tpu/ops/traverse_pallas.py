@@ -188,7 +188,11 @@ def _slab48(rows, o, inv, tmax):
 #:     runs 2x the bf16 MAC rate on v5e, so 4 planes cost 2 bf16-pass
 #:     equivalents — the fastest exact fetch if Mosaic lowers s8 dots.
 #: Baked into tables at build time; kernels infer the format from dtype.
-SPLIT_MODE = "bf16x3"
+#: Default int8x4 per the on-chip A/B (tools/split_ab.py, r3): verified
+#: kp=4 camera pass 9.22 ms vs bf16x3's 10.22, fused-attr 11.43 vs
+#: 13.59, wide ksel16/kp16 24.1 vs 28.1 — Mosaic does lower s8 dots at
+#: the 2x rate, and both modes are fetch-bit-exact on hardware.
+SPLIT_MODE = "int8x4"
 
 
 def _fetch_split(table_ref, ids, interp: bool = False):

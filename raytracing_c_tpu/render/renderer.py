@@ -334,10 +334,12 @@ def render(
             # devices — monolithic tables or a re-rooted forest, the
             # builder always provides ptables; CPU (tests / dryrun) keeps
             # the XLA top-k path since pallas interpret mode is orders of
-            # magnitude slower
+            # magnitude slower. pallas_fused (traversal + attr interp in
+            # one dispatch) won the on-chip A/B (tools/split_ab.py r3:
+            # 11.43 vs 11.92 ms camera, 13.38 vs 14.13 bounce, int8x4).
             on_cpu = jax.devices()[0].platform == "cpu"
             method = (
-                "pallas"
+                "pallas_fused"
                 if not on_cpu and getattr(scene, "ptables", None) is not None
                 else "topk"
             )
