@@ -118,6 +118,25 @@ def f_bounce(st, _):
     return out
 
 
+def f_intersect_fused(ox, d):
+    h = traverse.intersect_scene(
+        scene, Vec3(ox, o_cam.y, o_cam.z), d, method="pallas_fused"
+    )
+    return ox + 0.0 * h["t"]
+
+
+def f_bounce_fused(st, _):
+    out = bounce_step(scene, st, rand4, method="pallas_fused")
+    return out
+
+
+def f_geom(ox, _):
+    g = _gather_hit_geometry(
+        scene, Vec3(ox, o_cam.y, o_cam.z), d_cam, hit0, method="pallas"
+    )
+    return ox + 0.0 * g["uv_u"]
+
+
 state0 = {
     "origin": o_cam,
     "direction": d_cam,
@@ -140,7 +159,10 @@ scene_notex = scene.replace(
 
 timed("tier0    ", f_tier0, o_cam.x, d_cam)
 timed("intersect", f_intersect, o_cam.x, d_cam)
+timed("isect_fused", f_intersect_fused, o_cam.x, d_cam)
 timed("attrs    ", f_attrs, geom0["uv_u"], None)
+timed("geom_gather", f_geom, o_cam.x, None)
 timed("shade    ", f_shade, geom0["uv_u"], scene)
 timed("shade_notex", f_shade, geom0["uv_u"], scene_notex)
 timed("bounce   ", f_bounce, state0, None)
+timed("bounce_fused", f_bounce_fused, state0, None)
