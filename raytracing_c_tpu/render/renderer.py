@@ -193,6 +193,46 @@ def render_batches_grouped(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "width", "height", "spp", "max_bounces", "batch_px", "k_group",
+        "method", "texture_mode", "compact", "rr", "nee", "tonemap",
+    ),
+    donate_argnums=(5, 6),
+)
+def render_batches_grouped_acc(
+    scene, xs_all, ys_all, key, b0, acc, rays_acc, *, width: int,
+    height: int, spp: int, max_bounces: int, batch_px: int, k_group: int,
+    method: str = "topk", texture_mode: str = "bilinear",
+    compact: bool = False, rr: bool = False, nee: bool = False,
+    tonemap: str | None = None,
+):
+    """render_batches_grouped, but the u8 pixels land in a DEVICE-resident
+    accumulator instead of being read back per dispatch: acc
+    ((n_groups*k_group*batch_px, 3) u8) and rays_acc ((n_groups*k_group,)
+    f32) are donated, so XLA updates them in place, and the host fetches
+    the whole image ONCE at the end of the render. Every intermediate
+    readback shares the axon tunnel with compute; at 1080p the per-group
+    drains measurably steal device time from in-flight dispatches.
+    rays_acc stays per-batch (each entry < 2^24 rays, exact in f32); the
+    host reduces it in float64."""
+    rgb, rays = render_batches_grouped(
+        scene, xs_all, ys_all, key, b0, width=width, height=height,
+        spp=spp, max_bounces=max_bounces, batch_px=batch_px,
+        k_group=k_group, method=method, texture_mode=texture_mode,
+        compact=compact, rr=rr, nee=nee, tonemap=tonemap,
+    )
+    acc = jax.lax.dynamic_update_slice_in_dim(
+        acc, rgb.reshape(k_group * batch_px, 3),
+        (b0 * batch_px).astype(jnp.int32), axis=0,
+    )
+    rays_acc = jax.lax.dynamic_update_slice_in_dim(
+        rays_acc, rays, b0.astype(jnp.int32), axis=0
+    )
+    return acc, rays_acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "width", "height", "spp", "max_bounces", "method", "texture_mode",
         "compact", "rr", "nee", "tonemap",
     ),
@@ -304,6 +344,7 @@ def render(
     nee: bool = False,
     k_group: int | None = None,
     tonemap: str | None = None,
+    accumulate: bool | None = None,
 ):
     """Render a full image.
 
@@ -322,6 +363,13 @@ def render(
     (integrator.trace_bucketed). Default on. Mesh renders run it
     PER-SHARD via shard_map (render_batch_sharded) — each shard sorts its
     own lanes, so no cross-chip collectives enter the trace.
+
+    accumulate: keep the rendered u8 pixels in a device-resident donated
+    buffer and read the whole image back ONCE at the end, instead of a
+    per-group readback (render_batches_grouped_acc). Default (None): on
+    when single-device and no progress callback — per-group drains share
+    the tunnel with compute; a progress callback needs per-batch
+    completion, so it keeps the draining path.
     """
     if compact is None:
         compact = True
@@ -356,6 +404,10 @@ def render(
 
     # pad pixel count so every batch has identical shape (one compile)
     n_batches = (n_pixels + batch_pixels - 1) // batch_pixels
+    # full-frame batch count BEFORE limit_batches: the accumulator buffer
+    # is sized from it so a limit_batches warmup compiles the exact
+    # program (same acc shape) the unlimited timed run uses
+    n_batches_full = n_batches
     # tile-order pixels (the reference's 32x32 chunks, raytracer.c:601):
     # batches then cover compact screen regions, so sky-only batches
     # terminate after one bounce instead of dragging through the full loop
@@ -470,24 +522,44 @@ def render(
         if k_group is None:
             k_group = min(4, n_batches) if mesh is None else 1
         k_group = max(1, min(k_group, n_batches)) if mesh is None else 1
-        for b in range(0, n_batches, k_group):
-            if mesh is None:
-                rgb, rays = render_batches_grouped(
-                    scene, xs_dev, ys_dev, key, jnp.uint32(b),
-                    batch_px=batch_pixels, k_group=k_group, **kw
+        if accumulate is None:
+            accumulate = mesh is None and progress is None
+        if accumulate and mesh is None:
+            n_groups_full = (n_batches_full + k_group - 1) // k_group
+            acc = jnp.zeros(
+                (n_groups_full * k_group * batch_pixels, 3), jnp.uint8
+            )
+            rays_acc = jnp.zeros((n_groups_full * k_group,), jnp.float32)
+            for b in range(0, n_batches, k_group):
+                acc, rays_acc = render_batches_grouped_acc(
+                    scene, xs_dev, ys_dev, key, jnp.uint32(b), acc,
+                    rays_acc, batch_px=batch_pixels, k_group=k_group, **kw
                 )
-            else:
-                sl = slice(b * batch_pixels, (b + 1) * batch_pixels)
-                px = jax.device_put(jnp.asarray(xs[sl]), shard)
-                py = jax.device_put(jnp.asarray(ys[sl]), shard)
-                rgb, rays = render_batch_sharded(
-                    scene, px, py, jax.random.fold_in(key, b), mesh=mesh,
-                    **kw
-                )
-            drain((b, rgb, rays))
-        for f in in_flight:
-            f.result()
-        drain_pool.shutdown(wait=True)
+                if progress is not None:  # dispatch-enqueue progress
+                    progress(min(b + k_group, n_batches), n_batches)
+            acc_h, rays_h = jax.device_get((acc, rays_acc))
+            out[perm] = acc_h[:n_pixels]
+            rays_total = float(np.sum(rays_h[:n_batches], dtype=np.float64))
+            drain_pool.shutdown(wait=True)
+        else:
+            for b in range(0, n_batches, k_group):
+                if mesh is None:
+                    rgb, rays = render_batches_grouped(
+                        scene, xs_dev, ys_dev, key, jnp.uint32(b),
+                        batch_px=batch_pixels, k_group=k_group, **kw
+                    )
+                else:
+                    sl = slice(b * batch_pixels, (b + 1) * batch_pixels)
+                    px = jax.device_put(jnp.asarray(xs[sl]), shard)
+                    py = jax.device_put(jnp.asarray(ys[sl]), shard)
+                    rgb, rays = render_batch_sharded(
+                        scene, px, py, jax.random.fold_in(key, b),
+                        mesh=mesh, **kw
+                    )
+                drain((b, rgb, rays))
+            for f in in_flight:
+                f.result()
+            drain_pool.shutdown(wait=True)
     wall_ms = (time.perf_counter() - t0) * 1e3
 
     img = out[:n_pixels].reshape(height, width, 3)

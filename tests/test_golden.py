@@ -70,6 +70,23 @@ def test_golden(name):
     assert p >= 45.0, f"PSNR {p:.1f} dB vs golden {name}"
 
 
+def test_accumulate_matches_drain():
+    """The device-resident accumulator path (single final readback,
+    renderer.render_batches_grouped_acc) must assemble the EXACT image the
+    per-group draining path does — same batches, same program, different
+    host plumbing. Small batch_pixels forces multiple k_groups plus a
+    clamped partial tail group."""
+    scene = load_scene(
+        f"{MODELS}/fov_test.obj", background_path=None, warn=lambda *a: None
+    )
+    kw = dict(spp=2, max_bounces=2, seed=7, batch_pixels=2048)
+    img_acc, st_acc = render(scene, 96, 96, accumulate=True, **kw)
+    img_drn, st_drn = render(scene, 96, 96, accumulate=False, **kw)
+    assert st_acc.batches == 5  # multi-group + partial tail
+    assert (img_acc == img_drn).all()
+    assert st_acc.rays_traced == st_drn.rays_traced
+
+
 def test_fov_test_structure():
     """fov_test is the camera/FOV validation scene (SURVEY §4): the cube
     staircase covers the center; the top-left corner is open sky."""
