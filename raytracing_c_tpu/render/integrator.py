@@ -372,7 +372,9 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
     sample slot restores it.
 
     Per-sample RNG: uniforms derive from (key, SLOT, bounce) via
-    vectorized threefry fold_in (~0.2 ms per 1M lanes), where slot is the
+    vectorized threefry fold_in (measured 3.4 ms/bounce at 1M lanes for
+    the full 6-channel draw — now 4 channels when nee is off, see
+    below; docs/PERF.md round-3 RNG census), where slot is the
     sample id carried through every permutation — so a sample's stream is
     PERMUTATION-INDEPENDENT and images are invariant to the compaction
     schedule (bucket widths, sort cadence). Differs from trace()'s
@@ -443,7 +445,14 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
                 "rays": st["rays"],
                 "prev_pdf": st["prev_pdf"][:w],
             }
-            nu = 7 if nee else 6  # +1 channel for the env-CDF jitter
+            # nee: 4 material + 2 light-sample + 1 env-CDF jitter.
+            # otherwise only the 4 material channels are consumed
+            # (bounce_step reads rand4[3] for rr) — and threefry counter
+            # semantics make uniform(k, (4,)) the exact PREFIX of
+            # uniform(k, (6,)), so narrowing the draw is bit-identical
+            # (tests/test_golden.py) while skipping a third of the
+            # per-lane bit generation (measured 3.4 ms/bounce at 1M lanes)
+            nu = 7 if nee else 4
 
             def draw(s):
                 k = jax.random.fold_in(jax.random.fold_in(key, s), i)

@@ -325,6 +325,37 @@ def render_batch_sharded(
     return fn(*args)
 
 
+@functools.lru_cache(maxsize=8)
+def _pixel_tables(width: int, height: int, pad: int):
+    """Tile-ordered pixel tables (the reference's 32x32 chunks,
+    raytracer.c:601): batches then cover compact screen regions, so
+    sky-only batches terminate after one bounce instead of dragging
+    through the full loop. Cached per (width, height, pad) — rebuilding
+    the lexsort and re-padding ~2M-entry tables costs tens of host ms per
+    render call, all inside the timed region."""
+    tile = 32
+    ids = np.arange(width * height, dtype=np.int64)
+    x = ids % width
+    y = ids // width
+    order = np.lexsort((x % tile, y % tile, x // tile, y // tile))
+    xs = x[order].astype(np.int32)
+    ys = y[order].astype(np.int32)
+    if pad:
+        xs = np.concatenate([xs, np.zeros(pad, np.int32)])
+        ys = np.concatenate([ys, np.zeros(pad, np.int32)])
+    # out[perm[i]] is the pixel rendered at position i
+    return xs, ys, order
+
+
+@functools.lru_cache(maxsize=8)
+def _pixel_tables_device(width: int, height: int, pad: int):
+    """Device-resident copy of _pixel_tables' (xs, ys) — ONE tunnel upload
+    per frame shape instead of ~16 MB per render call (at 1080p the
+    re-upload sat inside bench.py's timed region)."""
+    xs, ys, _ = _pixel_tables(width, height, pad)
+    return jnp.asarray(xs), jnp.asarray(ys)
+
+
 def render(
     scene,
     width: int,
@@ -408,21 +439,8 @@ def render(
     # is sized from it so a limit_batches warmup compiles the exact
     # program (same acc shape) the unlimited timed run uses
     n_batches_full = n_batches
-    # tile-order pixels (the reference's 32x32 chunks, raytracer.c:601):
-    # batches then cover compact screen regions, so sky-only batches
-    # terminate after one bounce instead of dragging through the full loop
-    tile = 32
-    ids = np.arange(n_pixels, dtype=np.int64)
-    x = ids % width
-    y = ids // width
-    order = np.lexsort((x % tile, y % tile, x // tile, y // tile))
-    xs = x[order].astype(np.int32)
-    ys = y[order].astype(np.int32)
-    perm = order  # out[perm[i]] is the pixel rendered at position i
     pad = n_batches * batch_pixels - n_pixels
-    if pad:
-        xs = np.concatenate([xs, np.zeros(pad, np.int32)])
-        ys = np.concatenate([ys, np.zeros(pad, np.int32)])
+    xs, ys, perm = _pixel_tables(width, height, pad)
 
     shard = None
     if mesh is not None:
@@ -476,11 +494,10 @@ def render(
         while len(in_flight) > pipeline_depth:
             in_flight.pop(0).result()
 
-    # ONE host->device upload of the full pixel list; batches slice it
-    # inside the jitted program (render_batch_indexed)
+    # ONE host->device upload of the full pixel list per frame shape
+    # (cached); batches slice it inside the jitted program
     if mesh is None:
-        xs_dev = jnp.asarray(xs)
-        ys_dev = jnp.asarray(ys)
+        xs_dev, ys_dev = _pixel_tables_device(width, height, pad)
 
     _tm = {"aces": color.aces, "reinhard": color.reinhard}.get(
         tonemap, lambda x: x
