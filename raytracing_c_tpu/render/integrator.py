@@ -382,15 +382,22 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
     """
     r = origin.shape[0]
 
-    # /2 width steps, <=5 switch branches: a bounce pays at most 2x its
-    # live-lane need (a /4 ladder measured ~26% more bounce-lane work on
-    # helmet's occupancy curve), while the branch count stays bounded —
-    # each branch compiles its own copy of the full bounce program
-    # (4 Pallas kernels + sorts); 7 branches once measured ~45 min of
-    # (remote) compile on the tunnel, 4-5 compile in minutes
+    # Decay-matched ladder, <=5 switch branches: /2 for the first step
+    # (helmet's bounce-1 occupancy is ~30%, so a /4 first step would
+    # bounce back to FULL width — the round-2 pure-/4 ladder lost ~26%
+    # that way), then /4 steps, floored at _MIN_BUCKET. The round-3
+    # occupancy census (1M bench lanes: live 1.38M vs 1.97M executed
+    # under the old /2 ladder with its r//16 floor = 29.8% padding,
+    # docs/PERF.md) shows bounces 2+ collapse to <23k live lanes — the
+    # deep /4 tail cuts padding to ~15% at the SAME branch count, so
+    # compile cost is unchanged (each branch compiles its own copy of
+    # the full bounce program; 7 branches once measured ~45 min of
+    # remote compile on the tunnel, 4-5 compile in minutes).
     widths = [r]
-    while len(widths) < 5 and widths[-1] // 2 >= max(_MIN_BUCKET, r // 16):
-        widths.append(widths[-1] // 2)
+    div = 2
+    while len(widths) < 5 and widths[-1] // div >= _MIN_BUCKET:
+        widths.append(widths[-1] // div)
+        div = 4
 
     state = {
         "origin": origin,
