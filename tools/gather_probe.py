@@ -1,0 +1,89 @@
+"""Index-pattern sensitivity of the texel page-row gather (on chip).
+
+The shade census (tools/shade_probe.py) shows one (R,128) u32 row gather
+from the 162k-page helmet atlas costs ~4.8 ms/256k rays — a ~19 ns/row
+latency chain at 3.5% of HBM bandwidth. Whether that cost is per-ROW-issue
+(only reducing row count helps) or per-DISTINCT-row (sorting/dedup helps)
+decides the texture-tap attack. Patterns measured:
+
+  rand      : uniform random rows (bounce-ray distribution)
+  sorted    : the same rows, sorted (dedup-by-sort candidate)
+  rep16     : random per group of 16, repeated 16x (bounce-0 pixel
+              coherence: spp=16 samples of a pixel share a page)
+  same      : all lanes fetch row 0 (degenerate best case)
+  iota      : sequential unique rows (streaming best case)
+  rep16s    : rep16 sorted (coherent AND monotonic)
+  r16th     : gather only R/16 rows + reshape-broadcast 16x (the
+              representative-fetch candidate's tier-0 cost)
+  row4      : (R,) random gather of (4,128) u32 slices from a
+              (N/4, 4, 128) view — the 4-texture super-row candidate
+
+Methodology per CLAUDE.md: fori_loop inside jit, body depends on the
+carry (index perturbed by a carry-derived 0/1), finite carry, np.asarray
+fence, best-of-3.
+"""
+
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+N_ROWS = 161_793  # helmet tpages scale
+R = 256 * 1024
+ITERS = 16
+
+rng = np.random.default_rng(0)
+table = jnp.asarray(rng.integers(0, 2**32, (N_ROWS, 128), np.uint64)
+                    .astype(np.uint32))
+table4 = table[: (N_ROWS // 4) * 4].reshape(-1, 4, 128)
+
+rand_rows = rng.integers(0, N_ROWS, R).astype(np.int32)
+pats = {
+    "rand  ": rand_rows,
+    "sorted": np.sort(rand_rows),
+    "rep16 ": np.repeat(rng.integers(0, N_ROWS, R // 16).astype(np.int32), 16),
+    "rep16s": np.repeat(np.sort(rng.integers(0, N_ROWS, R // 16)
+                                .astype(np.int32)), 16),
+    "same  ": np.zeros(R, np.int32),
+    "iota  ": (np.arange(R) % N_ROWS).astype(np.int32),
+}
+
+
+def timed(name, fn, idx):
+    idx = jnp.asarray(idx)
+
+    @jax.jit
+    def run(idx):
+        def body(_, c):
+            # perturb the index by a carry-derived 0/1 so the gather
+            # cannot be hoisted; consume the whole fetched block.
+            j = jnp.clip(idx + c.astype(jnp.int32), 0, N_ROWS - 1)
+            page = fn(j)
+            s = (page & jnp.uint32(1)).astype(jnp.float32).sum() * 1e-9
+            return jnp.minimum(s, 1.0)
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    np.asarray(run(idx))  # compile + fence
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(idx))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    print(f"{name}: {best * 1e3:7.3f} ms/256k", flush=True)
+
+
+print("backend:", jax.default_backend(), flush=True)
+for name, idx in pats.items():
+    timed(name, lambda j: table[j], idx)
+
+timed("r16th ", lambda j: jnp.broadcast_to(
+    table[j[::16]][:, None, :], (R // 16, 16, 128)).reshape(R, 128),
+    rand_rows)
+timed("row4  ", lambda j: table4[jnp.clip(j, 0, table4.shape[0] - 1)],
+      rand_rows)
