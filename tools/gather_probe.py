@@ -54,36 +54,85 @@ pats = {
 }
 
 
-def timed(name, fn, idx):
+def timed(name, fn, idx, tab):
+    """tab is an explicit jit ARGUMENT (a closed-over 83 MB device array
+    becomes an HLO constant, which stalls the tunnel compile for >10 min)."""
     idx = jnp.asarray(idx)
 
     @jax.jit
-    def run(idx):
+    def run(tab, idx):
         def body(_, c):
             # perturb the index by a carry-derived 0/1 so the gather
             # cannot be hoisted; consume the whole fetched block.
             j = jnp.clip(idx + c.astype(jnp.int32), 0, N_ROWS - 1)
-            page = fn(j)
+            page = fn(tab, j)
             s = (page & jnp.uint32(1)).astype(jnp.float32).sum() * 1e-9
             return jnp.minimum(s, 1.0)
 
         return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 
-    np.asarray(run(idx))  # compile + fence
+    np.asarray(run(tab, idx))  # compile + fence
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(run(idx))
+        np.asarray(run(tab, idx))
         best = min(best, (time.perf_counter() - t0) / ITERS)
     print(f"{name}: {best * 1e3:7.3f} ms/256k", flush=True)
 
 
 print("backend:", jax.default_backend(), flush=True)
 for name, idx in pats.items():
-    timed(name, lambda j: table[j], idx)
+    timed(name, lambda t, j: t[j], idx, table)
 
-timed("r16th ", lambda j: jnp.broadcast_to(
-    table[j[::16]][:, None, :], (R // 16, 16, 128)).reshape(R, 128),
-    rand_rows)
-timed("row4  ", lambda j: table4[jnp.clip(j, 0, table4.shape[0] - 1)],
-      rand_rows)
+timed("r16th ", lambda t, j: jnp.broadcast_to(
+    t[j[::16]][:, None, :], (R // 16, 16, 128)).reshape(R, 128),
+    rand_rows, table)
+timed("row4  ", lambda t, j: t[jnp.clip(j, 0, t.shape[0] - 1)],
+      rand_rows, table4)
+
+
+# Shade-census fact: four INDEPENDENT taps overlap (8.0 ms vs 7.06 for one)
+# — the gather engine runs concurrent streams, it just issues one stream's
+# rows serially. So split ONE logical gather into k independent sub-gathers
+# of R/k rows: if XLA keeps them separate, the streams overlap ~k-fold.
+def make_split(k):
+    def f(t, j):
+        parts = [t[j[i * (R // k):(i + 1) * (R // k)]] for i in range(k)]
+        return jnp.concatenate(parts, axis=0)
+    return f
+
+
+for k in (2, 4, 8, 16):
+    timed(f"splt{k:<2d}", make_split(k), rand_rows, table)
+
+
+# shade's real shape: FOUR taps (4 independent index vectors, same table).
+# t4 = today's shade ensemble; t4s4 = each tap split 4-ways (16 streams).
+idx4 = [rng.integers(0, N_ROWS, R).astype(np.int32) for _ in range(4)]
+idx4_j = jnp.asarray(np.stack(idx4))
+
+
+def tap4(t, j):
+    acc = jnp.zeros((R, 128), jnp.uint32)
+    for i in range(4):
+        acc = acc ^ t[jnp.clip(idx4_j[i] + (j[:1] & 1), 0, N_ROWS - 1)]
+    return acc
+
+
+def tap4s(k):
+    def f(t, j):
+        acc = jnp.zeros((R, 128), jnp.uint32)
+        for i in range(4):
+            parts = [
+                t[jnp.clip(idx4_j[i][c * (R // k):(c + 1) * (R // k)]
+                           + (j[:1] & 1), 0, N_ROWS - 1)]
+                for c in range(k)
+            ]
+            acc = acc ^ jnp.concatenate(parts, axis=0)
+        return acc
+    return f
+
+
+timed("tap4  ", tap4, rand_rows, table)
+timed("tap4s2", tap4s(2), rand_rows, table)
+timed("tap4s4", tap4s(4), rand_rows, table)
