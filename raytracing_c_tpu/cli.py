@@ -146,7 +146,14 @@ def main(argv: list[str] | None = None) -> int:
     if cfg["load_scene"]:
         scene = serialization.load_scene_cache(cfg["load_scene"])
     else:
-        scene = load_scene(cfg["model"], background_path=cfg["background"], warn=warn)
+        try:
+            scene = load_scene(cfg["model"],
+                               background_path=cfg["background"], warn=warn)
+        except FileNotFoundError as e:
+            # missing env map is fatal, matching the reference's
+            # load_texture error surface (driver.c:106-116)
+            print(e, file=sys.stderr)
+            return 1
     bvh_ms = (time.perf_counter() - t0) * 1e3
 
     if cfg["debug_normals"]:

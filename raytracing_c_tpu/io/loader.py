@@ -2,9 +2,12 @@
 
 load_model_file (driver.c:685-728): extension dispatch .obj/.glb/.gltf; the
 glTF camera (if present) overrides the default camera; the environment map
-`background.png` is loaded from the working directory when present
-(driver.c:759) and otherwise degrades to a neutral constant sky (the
-reference snapshot is missing that asset — SURVEY header note).
+`background.png` is loaded from the working directory (driver.c:759). A
+missing/unreadable env map is a HARD failure exactly like the reference's
+load_texture ("Failed to load texture: '<path>'" then exit 1,
+driver.c:106-116) — callers that want no env light pass
+background_path=None (the --no-bg extension) and get a neutral constant
+sky instead.
 """
 
 from __future__ import annotations
@@ -46,15 +49,16 @@ def load_scene(
 
     background = Background.constant(DEFAULT_SKY)
     if background_path:
-        if os.path.exists(background_path):
+        try:
             img = load_image_rgb_u8(background_path)
-            tid = atlas.add(img, key=os.path.normpath(background_path))
-            background = Background.equirect(tid)
-        else:
-            warn(
-                f"env map '{background_path}' not found, using constant sky "
-                f"{DEFAULT_SKY}"
-            )
+        except (OSError, ValueError) as e:
+            # reference load_texture parity (driver.c:106-116): any failure
+            # to read/decode the env map is fatal, never a silent fallback
+            raise FileNotFoundError(
+                f"Failed to load texture: '{background_path}'"
+            ) from e
+        tid = atlas.add(img, key=os.path.normpath(background_path))
+        background = Background.equirect(tid)
 
     if camera is None:
         camera = Camera.default()

@@ -25,6 +25,33 @@ def _wrap01(x):
     return x - jnp.floor(x)
 
 
+#: sub-gathers per page-row gather. The TPU gather engine issues one
+#: stream's rows serially (~17 ns/row, index-pattern-INSENSITIVE — sorted/
+#: coherent/repeated indices all cost the same, tools/gather_probe.py) but
+#: overlaps independent streams ~2x IN ISOLATION: splitting one 256k-row
+#: gather 4 ways measured 2.81 ms vs 4.45 unsplit, the shade ensemble's 4
+#: taps split 4 ways 5.79 vs 13.7, and the fine shade census improved
+#: 7.41 -> 6.29 ms/256k. The FULL BENCH disagreed: 9.05 device Mrays/s
+#: with the split vs 9.61 without (r4 A/B, twice) — in the real bounce the
+#: taps already overlap with surrounding compute and the extra
+#: concatenates break XLA fusion. MEASURED NEGATIVE -> disabled; keep
+#: deciding with full-bench A/Bs only (round-3 lesson, CLAUDE.md).
+GATHER_SPLIT = 1
+
+
+def _gather_rows(table, idx):
+    """table[idx] as GATHER_SPLIT independent sub-gathers (see above).
+    Falls back to one gather when the batch does not split evenly."""
+    r = idx.shape[0]
+    k = GATHER_SPLIT
+    if k <= 1 or r % k != 0 or r < 4 * k:
+        return table[idx]
+    return jnp.concatenate(
+        [table[idx[i * (r // k):(i + 1) * (r // k)]] for i in range(k)],
+        axis=0,
+    )
+
+
 def _tex_params(atlas, tid):
     """Per-ray (width, height, tile_row, tiles_x) for tiled atlases —
     ONE exact one-hot matmul over the (4, K) parameter table instead of
@@ -53,7 +80,7 @@ def _fetch(atlas, off, w, x, y) -> Vec3:
     idx = off + y * w + x  # (R,)
     row = idx >> 7
     lane = idx & 127
-    page = atlas.pages[row]  # (R, 128) u32 row gather
+    page = _gather_rows(atlas.pages, row)  # (R, 128) u32 row gather
     one_hot = (
         jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == lane[:, None]
     )
@@ -80,7 +107,7 @@ def _tile_page(atlas, trow, tiles_x, x0, y0):
     tx = x0 // TILE_W
     ty = y0 // TILE_H
     row = trow + ty * tiles_x + tx
-    page = atlas.tpages[row]  # (R, 128) u32 row gather
+    page = _gather_rows(atlas.tpages, row)  # (R, 128) u32 row gather
     lane = (y0 - ty * TILE_H) * (TILE_W + 1) + (x0 - tx * TILE_W)
     return page, lane
 

@@ -156,8 +156,8 @@ def bounce_step(scene, st, rand4, method: str = "topk",
 
     st: dict(origin, direction, throughput, radiance: Vec3; active: bool;
     rays: f32 scalar). rand4: (4, R) uniforms for the material stage.
-    Shared by the fused trace() loop below and the compacting pool renderer
-    (render/pool.py) — both paths get identical per-bounce semantics.
+    The single source of per-bounce semantics: trace()/trace_bucketed()
+    below and the demoted pool probe (tools/pool_engine.py) all call it.
 
     rr: Russian-roulette path termination (BEYOND-PARITY, default off —
     the reference integrator has none, raytracer.c:505-558): from bounce

@@ -369,7 +369,6 @@ def render(
     progress=None,
     texture_mode: str = "bilinear",
     limit_batches: int | None = None,
-    engine: str = "fused",
     compact: bool | None = None,
     rr: bool = False,
     nee: bool = False,
@@ -385,10 +384,6 @@ def render(
     forces the exact ordered-DFS path. `mesh` shards batch pixels across devices
     (scene replicated; per SURVEY §2 the only cross-chip traffic is the final
     image gather).
-
-    engine="pool" uses the compacting wavefront pool (render/pool.py):
-    live rays shrink the working set between bounces. Single-device only
-    (falls back to fused under a mesh).
 
     compact: on-device bucket compaction of the bounce loop
     (integrator.trace_bucketed). Default on. Mesh renders run it
@@ -504,79 +499,57 @@ def render(
     )
 
     t0 = time.perf_counter()
-    if engine == "pool" and shard is None:
-        from raytracing_c_tpu.render import pool as pool_mod
-
-        def make_task(b):
-            sl = slice(b * batch_pixels, (b + 1) * batch_pixels)
-            return pool_mod.PoolTask(
-                scene, jnp.asarray(xs[sl]), jnp.asarray(ys[sl]),
-                jax.random.fold_in(key, b), width=width, height=height,
-                spp=spp, max_bounces=max_bounces, method=method,
-                texture_mode=texture_mode,
-            )
-
-        pool_mod.run_pool_tasks(
-            make_task, n_batches,
-            lambda b, rgb, rays: drain(
-                (b, color.encode_u8(_tm(jnp.asarray(rgb))), rays)
-            ),
+    kw = dict(
+        width=width, height=height, spp=spp, max_bounces=max_bounces,
+        method=method, texture_mode=texture_mode, compact=compact,
+        rr=rr, nee=nee, tonemap=tonemap,
+    )
+    # k_group is part of the compiled program's static shape: a warmup
+    # run MUST use the same value as the timed run (bench.py pins it) —
+    # round 2's official bench regression was a warmup compiled at
+    # k_group=1 while the timed loop ran the never-compiled k_group=4
+    # program, putting a fresh tunnel compile inside the timer.
+    if k_group is None:
+        k_group = min(4, n_batches) if mesh is None else 1
+    k_group = max(1, min(k_group, n_batches)) if mesh is None else 1
+    if accumulate is None:
+        accumulate = mesh is None and progress is None
+    if accumulate and mesh is None:
+        n_groups_full = (n_batches_full + k_group - 1) // k_group
+        acc = jnp.zeros(
+            (n_groups_full * k_group * batch_pixels, 3), jnp.uint8
         )
+        rays_acc = jnp.zeros((n_groups_full * k_group,), jnp.float32)
+        for b in range(0, n_batches, k_group):
+            acc, rays_acc = render_batches_grouped_acc(
+                scene, xs_dev, ys_dev, key, jnp.uint32(b), acc,
+                rays_acc, batch_px=batch_pixels, k_group=k_group, **kw
+            )
+            if progress is not None:  # dispatch-enqueue progress
+                progress(min(b + k_group, n_batches), n_batches)
+        acc_h, rays_h = jax.device_get((acc, rays_acc))
+        out[perm] = acc_h[:n_pixels]
+        rays_total = float(np.sum(rays_h[:n_batches], dtype=np.float64))
+        drain_pool.shutdown(wait=True)
+    else:
+        for b in range(0, n_batches, k_group):
+            if mesh is None:
+                rgb, rays = render_batches_grouped(
+                    scene, xs_dev, ys_dev, key, jnp.uint32(b),
+                    batch_px=batch_pixels, k_group=k_group, **kw
+                )
+            else:
+                sl = slice(b * batch_pixels, (b + 1) * batch_pixels)
+                px = jax.device_put(jnp.asarray(xs[sl]), shard)
+                py = jax.device_put(jnp.asarray(ys[sl]), shard)
+                rgb, rays = render_batch_sharded(
+                    scene, px, py, jax.random.fold_in(key, b),
+                    mesh=mesh, **kw
+                )
+            drain((b, rgb, rays))
         for f in in_flight:
             f.result()
         drain_pool.shutdown(wait=True)
-    else:
-        kw = dict(
-            width=width, height=height, spp=spp, max_bounces=max_bounces,
-            method=method, texture_mode=texture_mode, compact=compact,
-            rr=rr, nee=nee, tonemap=tonemap,
-        )
-        # k_group is part of the compiled program's static shape: a warmup
-        # run MUST use the same value as the timed run (bench.py pins it) —
-        # round 2's official bench regression was a warmup compiled at
-        # k_group=1 while the timed loop ran the never-compiled k_group=4
-        # program, putting a fresh tunnel compile inside the timer.
-        if k_group is None:
-            k_group = min(4, n_batches) if mesh is None else 1
-        k_group = max(1, min(k_group, n_batches)) if mesh is None else 1
-        if accumulate is None:
-            accumulate = mesh is None and progress is None
-        if accumulate and mesh is None:
-            n_groups_full = (n_batches_full + k_group - 1) // k_group
-            acc = jnp.zeros(
-                (n_groups_full * k_group * batch_pixels, 3), jnp.uint8
-            )
-            rays_acc = jnp.zeros((n_groups_full * k_group,), jnp.float32)
-            for b in range(0, n_batches, k_group):
-                acc, rays_acc = render_batches_grouped_acc(
-                    scene, xs_dev, ys_dev, key, jnp.uint32(b), acc,
-                    rays_acc, batch_px=batch_pixels, k_group=k_group, **kw
-                )
-                if progress is not None:  # dispatch-enqueue progress
-                    progress(min(b + k_group, n_batches), n_batches)
-            acc_h, rays_h = jax.device_get((acc, rays_acc))
-            out[perm] = acc_h[:n_pixels]
-            rays_total = float(np.sum(rays_h[:n_batches], dtype=np.float64))
-            drain_pool.shutdown(wait=True)
-        else:
-            for b in range(0, n_batches, k_group):
-                if mesh is None:
-                    rgb, rays = render_batches_grouped(
-                        scene, xs_dev, ys_dev, key, jnp.uint32(b),
-                        batch_px=batch_pixels, k_group=k_group, **kw
-                    )
-                else:
-                    sl = slice(b * batch_pixels, (b + 1) * batch_pixels)
-                    px = jax.device_put(jnp.asarray(xs[sl]), shard)
-                    py = jax.device_put(jnp.asarray(ys[sl]), shard)
-                    rgb, rays = render_batch_sharded(
-                        scene, px, py, jax.random.fold_in(key, b),
-                        mesh=mesh, **kw
-                    )
-                drain((b, rgb, rays))
-            for f in in_flight:
-                f.result()
-            drain_pool.shutdown(wait=True)
     wall_ms = (time.perf_counter() - t0) * 1e3
 
     img = out[:n_pixels].reshape(height, width, 3)

@@ -43,15 +43,33 @@ def test_equirect_directional_lookup(env_scene):
     np.testing.assert_allclose(out[1], [green, red, red], atol=0.02)
 
 
-def test_missing_env_map_falls_back_to_constant(tmp_path):
-    warnings = []
-    scene = load_scene(
-        f"{MODELS}/quad.obj",
-        background_path=str(tmp_path / "nope.png"),
-        warn=lambda *a: warnings.append(a),
-    )
+def test_missing_env_map_is_fatal(tmp_path):
+    """Reference load_texture parity (driver.c:106-116): a missing env map
+    exits with 'Failed to load texture', never a silent fallback."""
+    with pytest.raises(FileNotFoundError, match="Failed to load texture"):
+        load_scene(
+            f"{MODELS}/quad.obj",
+            background_path=str(tmp_path / "nope.png"),
+            warn=lambda *a: None,
+        )
+
+
+def test_missing_env_map_cli_exit(tmp_path, capsys):
+    """CLI surface of the same parity: exit code 1 + the message on
+    stderr (driver.c:113-115)."""
+    from raytracing_c_tpu.cli import main
+
+    rc = main(["-W", "8", "-H", "8", "-S", "1",
+               "--bg", str(tmp_path / "nope.png"),
+               f"{MODELS}/quad.obj", "-O", str(tmp_path / "o.png")])
+    assert rc == 1
+    assert "Failed to load texture" in capsys.readouterr().err
+
+
+def test_no_bg_flag_uses_constant_sky():
+    scene = load_scene(f"{MODELS}/quad.obj", background_path=None,
+                       warn=lambda *a: None)
     assert scene.background.kind == 0  # BG_CONSTANT
-    assert warnings  # the degradation is reported
 
 
 def test_miss_rays_collect_env_light(env_scene):

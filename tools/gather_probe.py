@@ -15,12 +15,21 @@ decides the texture-tap attack. Patterns measured:
   rep16s    : rep16 sorted (coherent AND monotonic)
   r16th     : gather only R/16 rows + reshape-broadcast 16x (the
               representative-fetch candidate's tier-0 cost)
-  row4      : (R,) random gather of (4,128) u32 slices from a
-              (N/4, 4, 128) view — the 4-texture super-row candidate
+  q256/q512 : random row gathers from (N/2, 256) / (N/4, 512) u32 tables —
+              the multi-texture SUPER-ROW candidate: if the gather is
+              issue-bound per row, a 2 KB row costs the same as a 512 B
+              row and ONE gather serves all four material taps
+  splt{k}   : one logical gather split into k independent sub-gathers of
+              R/k rows (stream-overlap candidate)
+  tap4      : four independent (R,128) taps (today's shade ensemble)
+  tap4s{k}  : each of the four taps split k ways
+  q512s{k}  : the 512-lane quad gather split k ways (quad + overlap)
 
 Methodology per CLAUDE.md: fori_loop inside jit, body depends on the
 carry (index perturbed by a carry-derived 0/1), finite carry, np.asarray
-fence, best-of-3.
+fence, best-of-3. All tables AND index vectors are jit ARGUMENTS (a
+closed-over device array becomes an HLO constant — stalls tunnel
+compiles and bloats cache artifacts).
 """
 
 import time
@@ -40,7 +49,8 @@ ITERS = 16
 rng = np.random.default_rng(0)
 table = jnp.asarray(rng.integers(0, 2**32, (N_ROWS, 128), np.uint64)
                     .astype(np.uint32))
-table4 = table[: (N_ROWS // 4) * 4].reshape(-1, 4, 128)
+table2 = table[: (N_ROWS // 2) * 2].reshape(-1, 256)
+table4 = table[: (N_ROWS // 4) * 4].reshape(-1, 512)
 
 rand_rows = rng.integers(0, N_ROWS, R).astype(np.int32)
 pats = {
@@ -55,16 +65,18 @@ pats = {
 
 
 def timed(name, fn, idx, tab):
-    """tab is an explicit jit ARGUMENT (a closed-over 83 MB device array
-    becomes an HLO constant, which stalls the tunnel compile for >10 min)."""
+    """fn(tab, j) with j = idx perturbed by the carry; idx and tab are both
+    jit arguments (ADVICE r3: closing over a device index array embeds it
+    as an HLO constant)."""
     idx = jnp.asarray(idx)
+    n_max = tab.shape[0] - 1
 
     @jax.jit
     def run(tab, idx):
         def body(_, c):
             # perturb the index by a carry-derived 0/1 so the gather
             # cannot be hoisted; consume the whole fetched block.
-            j = jnp.clip(idx + c.astype(jnp.int32), 0, N_ROWS - 1)
+            j = jnp.clip(idx + c.astype(jnp.int32), 0, n_max)
             page = fn(tab, j)
             s = (page & jnp.uint32(1)).astype(jnp.float32).sum() * 1e-9
             return jnp.minimum(s, 1.0)
@@ -87,8 +99,11 @@ for name, idx in pats.items():
 timed("r16th ", lambda t, j: jnp.broadcast_to(
     t[j[::16]][:, None, :], (R // 16, 16, 128)).reshape(R, 128),
     rand_rows, table)
-timed("row4  ", lambda t, j: t[jnp.clip(j, 0, t.shape[0] - 1)],
-      rand_rows, table4)
+# super-row candidates: indices drawn in-range for the shrunken tables
+# (ADVICE r3: clipping 0..161k rows into a 40k-row table saturated 75% of
+# lanes to one row — that measured the degenerate 'same' pattern)
+timed("q256  ", lambda t, j: t[j], rand_rows % table2.shape[0], table2)
+timed("q512  ", lambda t, j: t[j], rand_rows % table4.shape[0], table4)
 
 
 # Shade-census fact: four INDEPENDENT taps overlap (8.0 ms vs 7.06 for one)
@@ -104,27 +119,53 @@ def make_split(k):
 
 for k in (2, 4, 8, 16):
     timed(f"splt{k:<2d}", make_split(k), rand_rows, table)
+for k in (2, 4, 8):
+    timed(f"q512s{k}", make_split(k), rand_rows % table4.shape[0], table4)
 
 
 # shade's real shape: FOUR taps (4 independent index vectors, same table).
-# t4 = today's shade ensemble; t4s4 = each tap split 4-ways (16 streams).
-idx4 = [rng.integers(0, N_ROWS, R).astype(np.int32) for _ in range(4)]
-idx4_j = jnp.asarray(np.stack(idx4))
+# tap4 = today's shade ensemble; tap4s{k} = each tap split k-ways. The four
+# index vectors ride one stacked (4, R) jit argument.
+idx4_j = jnp.asarray(
+    np.stack([rng.integers(0, N_ROWS, R).astype(np.int32) for _ in range(4)])
+)
 
 
-def tap4(t, j):
+def timed4(name, fn):
+    """Like timed() but fn(tab, j, idx4) with the (4, R) index stack as an
+    explicit jit argument (ADVICE r3)."""
+    @jax.jit
+    def run(tab, idx, idx4):
+        def body(_, c):
+            j = jnp.clip(idx + c.astype(jnp.int32), 0, N_ROWS - 1)
+            page = fn(tab, j, idx4)
+            s = (page & jnp.uint32(1)).astype(jnp.float32).sum() * 1e-9
+            return jnp.minimum(s, 1.0)
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    np.asarray(run(table, jnp.asarray(rand_rows), idx4_j))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(table, jnp.asarray(rand_rows), idx4_j))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    print(f"{name}: {best * 1e3:7.3f} ms/256k", flush=True)
+
+
+def tap4(t, j, idx4):
     acc = jnp.zeros((R, 128), jnp.uint32)
     for i in range(4):
-        acc = acc ^ t[jnp.clip(idx4_j[i] + (j[:1] & 1), 0, N_ROWS - 1)]
+        acc = acc ^ t[jnp.clip(idx4[i] + (j[:1] & 1), 0, N_ROWS - 1)]
     return acc
 
 
 def tap4s(k):
-    def f(t, j):
+    def f(t, j, idx4):
         acc = jnp.zeros((R, 128), jnp.uint32)
         for i in range(4):
             parts = [
-                t[jnp.clip(idx4_j[i][c * (R // k):(c + 1) * (R // k)]
+                t[jnp.clip(idx4[i][c * (R // k):(c + 1) * (R // k)]
                            + (j[:1] & 1), 0, N_ROWS - 1)]
                 for c in range(k)
             ]
@@ -133,6 +174,6 @@ def tap4s(k):
     return f
 
 
-timed("tap4  ", tap4, rand_rows, table)
-timed("tap4s2", tap4s(2), rand_rows, table)
-timed("tap4s4", tap4s(4), rand_rows, table)
+timed4("tap4  ", tap4)
+timed4("tap4s2", tap4s(2))
+timed4("tap4s4", tap4s(4))

@@ -1,4 +1,13 @@
-"""Compacting wavefront pool renderer.
+"""Compacting wavefront pool renderer — RECORDED NEGATIVE (demoted r4).
+
+Kept under tools/ as a measurement artifact, not a product engine: the
+host-driven per-bounce sync loses to the fused on-device bucket compaction
+(integrator.trace_bucketed) on BOTH counts that were tried — the plain
+loop measured 3x slower (140 s vs 46 s at 1080p) and the pipelined
+two-task variant still 1.7x slower (77 s) — see docs/PERF.md. The
+on-device ladder gets the same occupancy win with zero host round-trips,
+so this architecture has no remaining niche on tunnel-attached OR local
+chips. Import render_batch_pool from a probe script to re-measure.
 
 The fused renderer (renderer.render_batch) runs every bounce at full batch
 width: after a few bounces most rays are dead but still occupy dense lanes.
