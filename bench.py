@@ -172,6 +172,29 @@ def main() -> int:
                                "bench_helmet_1080p.png"), img)
     except Exception:
         pass
+
+    # secondary anti-overfit metric (VERDICT r3 #5): tower.obj (BASELINE
+    # config 5, the numerics canary — high-poly, env-lit, the scene that
+    # exposed the bf16-matmul hardware bug). Helmet-specific tuning
+    # (k_group, bucket ladder, kp) must not regress it. stderr only; the
+    # driver's contract stays ONE stdout JSON line.
+    try:
+        tower = load_scene("/root/reference/models/tower.obj",
+                           background_path=None, warn=lambda *a: None)
+        tkw = dict(spp=SPP, max_bounces=BOUNCES,
+                   batch_pixels=BATCH_PIXELS, k_group=K_GROUP)
+        render(tower, 1024, 1024, seed=1, limit_batches=K_GROUP, **tkw)
+        t0 = time.perf_counter()
+        _, tstats = render(tower, 1024, 1024, seed=0, **tkw)
+        twall = time.perf_counter() - t0
+        print(
+            f"# secondary: tower.obj 1024x1024x{SPP}spp "
+            f"{tstats.rays_traced / 1e6 / twall:.3f} Mrays/s "
+            f"(wall={twall:.2f}s rays={tstats.rays_traced:.3e})",
+            file=sys.stderr,
+        )
+    except Exception as e:  # the secondary must never sink the bench
+        print(f"# secondary tower bench failed: {e}", file=sys.stderr)
     return 0
 
 

@@ -66,3 +66,42 @@ def test_render_with_mesh_compacted(scene):
     a = img_m.astype(np.float64).mean()
     b = img_s.astype(np.float64).mean()
     np.testing.assert_allclose(a, b, rtol=0.02)
+
+
+def test_render_with_mesh_forest_pallas(scene):
+    """ForestTables under shard_map (VERDICT r3 #4): the re-rooted Pallas
+    traversal (interpret mode on the CPU mesh) must shard like any other
+    method — scene + subtree tables replicated, rays split — and the dense
+    loop stays bit-identical to single-device."""
+    from raytracing_c_tpu.ops import traverse_pallas as tp
+
+    forest = tp.build_forest_host(
+        np.asarray(scene.bvh.nodes),
+        np.asarray(scene.triangles.leaf_rows),
+        scene.bvh.depth,
+        np.asarray(scene.triangles.attr_rows),
+        root_level=1,
+    )
+    scene_f = scene.replace(ptables=forest)
+    assert isinstance(scene_f.ptables, tp.ForestTables)
+    m = mesh_mod.make_mesh()
+    kw = dict(spp=1, max_bounces=2, seed=3, compact=False,
+              method="pallas_fused")
+    img_m, _ = render(scene_f, 16, 16, mesh=m, **kw)
+    img_s, _ = render(scene_f, 16, 16, **kw)
+    np.testing.assert_array_equal(img_m, img_s)
+    assert img_m.std() > 0
+
+
+def test_render_with_mesh_nee(scene):
+    """NEE under shard_map: shadow rays + MIS weights ride the per-shard
+    trace; the dense loop slices the GLOBAL nee_uniforms stream, so the
+    sharded image is bit-identical to single-device."""
+    m = mesh_mod.make_mesh()
+    kw = dict(spp=2, max_bounces=3, seed=5, compact=False, nee=True)
+    img_m, stats_m = render(scene, 24, 16, mesh=m, **kw)
+    img_s, stats_s = render(scene, 24, 16, **kw)
+    np.testing.assert_array_equal(img_m, img_s)
+    # NEE's shadow rays are counted on every shard, summed by the psum
+    assert stats_m.rays_traced == stats_s.rays_traced
+    assert stats_m.rays_traced > 24 * 16 * 2  # shadow rays present
