@@ -41,8 +41,11 @@ HELMET = "/root/reference/models/helmet.glb"
 WIDTH, HEIGHT = 1920, 1080
 SPP = 16
 BOUNCES = 8
-BATCH_PIXELS = 65536  # x16 spp = 1M rays per device program (bucket-compacted)
-K_GROUP = 4  # batches per dispatch; static — warmup and timed run share it
+# x16 spp = 1M rays per device program (bucket-compacted); the env
+# overrides exist for sweep A/Bs only (tools/ probes) — the defaults ARE
+# the bench contract
+BATCH_PIXELS = int(os.environ.get("RAYTPU_BENCH_BATCH_PX", 65536))
+K_GROUP = int(os.environ.get("RAYTPU_BENCH_KGROUP", 4))
 BASELINE_MRAYS = 500.0
 
 

@@ -305,27 +305,82 @@ def _split3_traced(x):
     return jnp.concatenate([hi, mid, lo], axis=0).astype(jnp.bfloat16)
 
 
-def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
-                     *refs):
+#: independent half-tiles interleaved inside one kernel invocation. The
+#: round-4 stage ablation (tools/ablate_probe.py) measured the kernel
+#: PERFECTLY SERIAL: one-hot fetch chain 5.7 ms + extraction pops 2.3 +
+#: Moller-Trumbore 1.2 + slab 0.7 sum to the full 9.8 ms/256k — Mosaic
+#: never overlaps the MXU dots with the VPU stages along one dependency
+#: chain. Splitting each ray tile into `halves` independent sub-tiles and
+#: emitting their stages round-robin (the generator protocol below) gives
+#: the scheduler adjacent MXU/VPU work from INDEPENDENT chains — and the
+#: on-chip A/B (r4, /tmp/halves_ab) measured it a NO-OP: halves=2/4 land
+#: within +-3% of halves=1 on both the tier-0 and fused passes (bit-exact
+#: outputs). Mosaic serializes the units regardless of available
+#: independent work, so the kernel's floor is MXU+VPU SUMMED; the
+#: machinery stays for future scheduling experiments (any `halves` is
+#: bit-identical: per-lane math is lane-local, reductions run along the
+#: candidate axis only). See docs/PERF.md round 4.
+HALVES = 1
+
+
+def _traverse_kernel(depth, ksel, kp, interp, fuse, halves, rays_ref,
+                     root_ref, *refs):
     """The kernel body. refs = node level tables (levels 1..depth-1),
     leaf super table, [gmap, attr when fuse], out_ref. ksel = candidates
     kept per level; kp = leaf groups fetched; interp = interpret mode
     (see _fetch_split); fuse = interpolate the winner's shading attributes
     in-kernel (_interp_attrs) — one dispatch per bounce instead of two,
-    and the hit planes never round-trip HBM between them."""
+    and the hit planes never round-trip HBM between them; halves =
+    independent sub-tiles interleaved for MXU/VPU overlap (see HALVES).
+
+    The traversal itself lives in the _traverse_stages generator; this
+    wrapper drives `halves` instances round-robin (stage boundaries are
+    its `yield`s) and concatenates their output rows lane-wise."""
     node_refs = refs[: depth - 1]
     leaf_ref = refs[depth - 1]
     if fuse:
         gmap_ref, attr_ref = refs[depth], refs[depth + 1]
         out_ref = refs[depth + 2]
     else:
+        gmap_ref = attr_ref = None
         out_ref = refs[depth]
 
     r = rays_ref.shape[1]
-    o = Vec3(rays_ref[0:1, :], rays_ref[1:2, :], rays_ref[2:3, :])
-    d = Vec3(rays_ref[3:4, :], rays_ref[4:5, :], rays_ref[5:6, :])
-    act = rays_ref[6:7, :] > 0.0
-    tmax = rays_ref[7:8, :]  # per-ray pruning bound (INF by default)
+    h = max(1, min(halves, r // 128))  # never narrow a sub-tile below 128
+    while r % h:
+        h -= 1
+    w = r // h
+    gens = [
+        _traverse_stages(
+            depth, ksel, kp, interp, fuse,
+            rays_ref[:, i * w : (i + 1) * w], root_ref, node_refs,
+            leaf_ref, gmap_ref, attr_ref,
+        )
+        for i in range(h)
+    ]
+    outs = [None] * h
+    live = list(range(h))
+    while live:
+        for i in list(live):
+            try:
+                next(gens[i])
+            except StopIteration as stop:
+                outs[i] = stop.value
+                live.remove(i)
+    out_ref[:] = jnp.concatenate(outs, axis=1) if h > 1 else outs[0]
+
+
+def _traverse_stages(depth, ksel, kp, interp, fuse, rays, root_ref,
+                     node_refs, leaf_ref, gmap_ref, attr_ref):
+    """One sub-tile's traversal as a generator: `yield` marks a stage
+    boundary where the round-robin driver switches to the other sub-tile
+    (MXU fetches of one interleave with VPU slab/extract of the other).
+    Returns the (8 or 24, r) output rows."""
+    r = rays.shape[1]
+    o = Vec3(rays[0:1, :], rays[1:2, :], rays[2:3, :])
+    d = Vec3(rays[3:4, :], rays[4:5, :], rays[5:6, :])
+    act = rays[6:7, :] > 0.0
+    tmax = rays[7:8, :]  # per-ray pruning bound (INF by default)
     inv = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)
 
     # --- root: static row, children are the level-1 candidates -------------
@@ -335,6 +390,7 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
     cand_cid = jnp.broadcast_to(
         root_rows[48:56].astype(jnp.int32), (W, r)
     )
+    yield
 
     dropped = jnp.full((1, r), INF)
 
@@ -368,11 +424,13 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
             cand_d = jnp.concatenate(new_d, axis=0)
             cand_id = jnp.concatenate(new_id, axis=0)
             cand_cid = jnp.concatenate(new_cid, axis=0)
+            yield
             continue
 
         n = min(ksel, cand_d.shape[0])
         keys = _pack(cand_d, cand_id)
         sel, rem, sel_cid = _extract(keys, n, payload=cand_cid)
+        yield
         # certificate from the EXACT f32 distances of the unselected
         # candidates (decoding the rounded keys instead costs ~0.01%
         # round-down, which near-ties on surface meshes trip constantly)
@@ -390,6 +448,7 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
         new_d, new_id, new_cid = [], [], []
         for k in range(sel_ids.shape[0]):
             rows = _fetch_split(node_refs[li], sel_cid[k : k + 1], interp)  # (NROWS, R)
+            yield
             d8 = _slab48(rows, o, inv, tmax)  # (8, R)
             new_d.append(jnp.where(sel_valid[k : k + 1], d8, INF))
             new_id.append(sel_ids[k : k + 1] * W + _iota((W, 1), 0))
@@ -401,6 +460,7 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
                 )
             else:
                 new_cid.append(rows[48:56].astype(jnp.int32))
+            yield
         cand_d = jnp.concatenate(new_d, axis=0)  # (8*ksel, R)
         cand_id = jnp.concatenate(new_id, axis=0)
         cand_cid = jnp.concatenate(new_cid, axis=0)
@@ -446,6 +506,7 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
         )
         gkeys = _pack(gmin_d, pgrel)
         sel, grem, gcids = _extract(gkeys, min(kp, n_par), payload=pgcid)
+        yield
         groups = []
         for k in range(sel.shape[0]):
             row = sel[k : k + 1]
@@ -454,6 +515,7 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
             gcid = gcids[k : k + 1]
             f = _fetch_split(leaf_ref, gcid, interp)  # (576, R)
             groups.append((f, grel, has, gcid))
+            yield
 
         dropped = jnp.minimum(
             dropped,
@@ -493,6 +555,7 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
         best_v = jnp.where(better, v_sel, best_v)
         best_tri = jnp.where(better, tri_min, best_tri)
         best_t = jnp.where(better, tmin, best_t)
+        yield
 
     hit_rows = jnp.concatenate(
         [
@@ -514,13 +577,13 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, rays_ref, root_ref,
         win_cid = jnp.zeros_like(wg)
         for _f, grel, has, gcid in groups:
             win_cid = jnp.where((grel == wg) & has, gcid, win_cid)
+        yield
         attrs = _interp_attrs(
             depth, interp, gmap_ref, attr_ref,
             jnp.maximum(best_tri, 0), best_u, best_v, cid=win_cid,
         )
-        out_ref[:] = jnp.concatenate([hit_rows, attrs], axis=0)
-    else:
-        out_ref[:] = hit_rows
+        return jnp.concatenate([hit_rows, attrs], axis=0)
+    return hit_rows
 
 
 def _round_up(n, m=128):
@@ -780,7 +843,7 @@ def intersect_bvh_pallas(
     origin: Vec3, direction: Vec3, triangles, bvh, active=None, kp: int = 2,
     ksel: int = 8, t_max=None, tables: PallasTables | None = None,
     interpret: bool | None = None, tile: int | None = None,
-    fuse_attr: bool = False,
+    fuse_attr: bool = False, halves: int | None = None,
 ):
     """Single-pass fused traversal (Pallas). Returns dict(t, tri, u, v,
     dropped_min) with the same semantics/certificate as
@@ -791,6 +854,8 @@ def intersect_bvh_pallas(
     t_max: optional (R,) per-ray pruning bound: subtrees entered at or
     beyond it are skipped AND excluded from the certificate (only hits
     strictly closer than t_max can be found/certified).
+    halves: independent interleaved sub-tiles (None -> module default
+    HALVES); any value is bit-exact, it only changes scheduling.
     fuse_attr: also interpolate the winner's 25 shading attributes
     in-kernel (requires host-built tables with attr/gmap); adds an
     "attrs" entry — the (16, R) _interp_attrs planes — to the result.
@@ -831,9 +896,11 @@ def intersect_bvh_pallas(
     full = lambda t: pl.BlockSpec(  # noqa: E731
         t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    if halves is None:
+        halves = HALVES
     out = pl.pallas_call(
         functools.partial(
-            _traverse_kernel, depth, ksel, kp, interpret, fuse
+            _traverse_kernel, depth, ksel, kp, interpret, fuse, halves
         ),
         grid=(r_pad // tile,),
         in_specs=[

@@ -35,10 +35,8 @@ ITERS = 8
 
 
 def _kernel(q, sidx_ref, hbm_ref, out_ref, sems):
-    base = pl.program_id(0) * TILE
-
     def copy(j):
-        row = sidx_ref[base + j]
+        row = sidx_ref[j]
         return pltpu.make_async_copy(
             hbm_ref.at[pl.ds(row, 1), :],
             out_ref.at[pl.ds(j, 1), :],
@@ -66,17 +64,20 @@ def _kernel(q, sidx_ref, hbm_ref, out_ref, sems):
 
 
 def run(q, table, idx):
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(R // TILE,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((TILE, 128), lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((q,))],
-    )
     call = pl.pallas_call(
         functools.partial(_kernel, q),
-        grid_spec=grid_spec,
+        grid=(R // TILE,),
+        in_specs=[
+            # per-tile index block in SMEM (the full array would blow the
+            # 1 MB SMEM as a scalar-prefetch operand); the scalar core
+            # reads each row id directly from it to form DMA descriptors
+            pl.BlockSpec((TILE,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((q,))],
         out_shape=jax.ShapeDtypeStruct((R, 128), jnp.uint32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
