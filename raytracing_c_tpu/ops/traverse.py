@@ -17,6 +17,8 @@ slots lead, so every array tiles as (8, 128) without lane padding.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -500,9 +502,17 @@ def intersect_bvh_verified(
     return _repair_suspects(hit, suspect, wide_exact, origin, direction, s_cap)
 
 
+#: tier-0 candidate budget knobs (env-overridable for bench A/Bs only —
+#: the defaults ARE the tuned production values; round-3 kp story in the
+#: docstring below, round-4 ksel sweep in docs/PERF.md)
+TIER0_KP = int(os.environ.get("RAYTPU_TIER0_KP", "4"))
+TIER0_KSEL = int(os.environ.get("RAYTPU_TIER0_KSEL", "8"))
+
+
 def intersect_bvh_pallas_verified(
-    origin: Vec3, direction: Vec3, triangles, bvh, active=None, kp: int = 4,
-    max_suspects: int | None = None, tables=None, fuse_attr: bool = False,
+    origin: Vec3, direction: Vec3, triangles, bvh, active=None,
+    kp: int | None = None, max_suspects: int | None = None, tables=None,
+    fuse_attr: bool = False,
 ):
     """Exact traversal with the fused Pallas kernel as the fast path.
 
@@ -549,7 +559,9 @@ def intersect_bvh_pallas_verified(
                 fuse_attr=fuse,
             )
 
-    hit = tier0(origin, direction, active, kp, 8, fuse_attr)
+    if kp is None:
+        kp = TIER0_KP
+    hit = tier0(origin, direction, active, kp, TIER0_KSEL, fuse_attr)
     attrs = hit.pop("attrs", None)  # tier-0 winners' attrs (fused path)
     t0_t, t0_tri = hit["t"], hit["tri"]
     t0_u, t0_v = hit["u"], hit["v"]

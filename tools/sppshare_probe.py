@@ -54,15 +54,16 @@ def _iota(shape, dim):
 
 def _group_min(x):
     """Per-16-lane-group min at full width via roll butterfly: down-sweep
-    window min, keep group leaders (lane%16==0), spread leaders back."""
-    r = x.shape[-1]
+    window min, keep group leaders (lane%16==0), spread leaders back.
+    pltpu.roll requires non-negative shifts: roll by N-s == roll by -s."""
+    n = x.shape[-1]
     y = x
     for s in (1, 2, 4, 8):
-        y = jnp.minimum(y, pltpu.roll(y, -s, 1))
+        y = jnp.minimum(y, pltpu.roll(y, n - s, 1))  # y[l] <- y[l+s]
     lane = _iota(x.shape, 1)
     z = jnp.where(lane % SPP == 0, y, BIG)
     for s in (1, 2, 4, 8):
-        z = jnp.minimum(z, pltpu.roll(z, s, 1))
+        z = jnp.minimum(z, pltpu.roll(z, s, 1))  # z[l] <- z[l-s]
     return z
 
 
@@ -76,10 +77,10 @@ def _kernel(mode, rays_ref, table_ref, out_ref):
         if mode == "vote16":
             acc = acc + _group_min(x)
         elif mode == "stride":
-            nar = x[:, ::SPP]  # (8, P)
+            nar = x[:, ::SPP]  # (8, P) strided lane read — supported?
             acc = acc + jnp.pad(nar, ((0, 0), (0, r - r // SPP)))
         elif mode == "rep16":
-            nar = x[:, ::SPP]  # (8, P)
+            nar = x[:, :P]  # contiguous prefix: isolates repeat semantics
             acc = acc + pltpu.repeat(nar, SPP, 1)  # element or tile?
         elif mode in ("nfetch", "fetchR"):
             w = r // SPP if mode == "nfetch" else r
@@ -89,7 +90,13 @@ def _kernel(mode, rays_ref, table_ref, out_ref):
                 table_ref[:], oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # (224, w)
-            f = out[:8].astype(jnp.float32)
+            # consume EVERY output row (an out[:8] slice lets Mosaic
+            # shrink the dot to M=8 — the round-2 mxu_probe trap, hit
+            # again by this probe's first version AND overlap_probe)
+            fold = out[0:8]
+            for c in range(1, 28):
+                fold = fold ^ out[8 * c : 8 * c + 8]
+            f = fold.astype(jnp.float32)
             if mode == "nfetch":
                 f = jnp.pad(f, ((0, 0), (0, r - w)))
             acc = acc + f
@@ -147,13 +154,17 @@ def _ref(mode, rays_np, table_np):
             pad = np.zeros((8, R // TILE, TILE - P), np.float32)
             acc += np.concatenate([nar, pad], -1).reshape(8, R)
         elif mode == "rep16":
-            nar = xt[:, :, ::SPP]
-            rep16 = np.repeat(nar, SPP, axis=2)  # element-repeat
+            nar = xt[:, :, :P]
+            rep16 = np.repeat(nar, SPP, axis=2)  # ELEMENT-repeat reference
             acc += rep16.reshape(8, R)
         elif mode in ("nfetch", "fetchR"):
             w = TILE // SPP if mode == "nfetch" else TILE
             ids = (xt[0, :, :w] * 1e3).astype(np.int64) & (G - 1)
-            f = table_np[:8, :].astype(np.float32)[:, ids]  # (8, T, w)
+            cols = table_np.astype(np.int64)[:, ids]  # (224, T, w)
+            fold = cols[0:8].astype(np.int32)
+            for c in range(1, 28):
+                fold = fold ^ cols[8 * c : 8 * c + 8].astype(np.int32)
+            f = fold.astype(np.float32)
             if mode == "nfetch":
                 f = np.concatenate(
                     [f, np.zeros((8, R // TILE, TILE - w), np.float32)], -1
