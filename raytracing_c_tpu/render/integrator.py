@@ -452,14 +452,15 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
                 "rays": st["rays"],
                 "prev_pdf": st["prev_pdf"][:w],
             }
-            # nee: 4 material + 2 light-sample + 1 env-CDF jitter.
-            # otherwise only the 4 material channels are consumed
-            # (bounce_step reads rand4[3] for rr) — and threefry counter
-            # semantics make uniform(k, (4,)) the exact PREFIX of
-            # uniform(k, (6,)), so narrowing the draw is bit-identical
-            # (tests/test_golden.py) while skipping a third of the
-            # per-lane bit generation (measured 3.4 ms/bounce at 1M lanes)
-            nu = 7 if nee else 4
+            # nee: 4 material + 2 light-sample + 1 env-CDF jitter. rr
+            # additionally reads channel 3; plain tracing consumes only
+            # the 3 BRDF channels. threefry counter semantics make
+            # uniform(k, (m,)) the exact PREFIX of uniform(k, (n>m,)),
+            # so narrowing the draw is bit-identical (tests/test_golden)
+            # while skipping the unused per-lane bit generation (the
+            # round-3 narrowing measured 3.4 ms/bounce at 1M lanes for
+            # 6->4; r4 trims the rr spare too)
+            nu = 7 if nee else (4 if rr else 3)
 
             def draw(s):
                 k = jax.random.fold_in(jax.random.fold_in(key, s), i)
@@ -467,7 +468,7 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
 
             u6 = jax.vmap(draw, out_axes=1)(st["slot"][:w])  # (nu, w)
             out = bounce_step(
-                scene, head, u6[:4], method, texture_mode,
+                scene, head, u6[: min(nu, 4)], method, texture_mode,
                 rr=rr, bounce_i=i, nee=nee,
                 rand2=u6[4:nu] if nee else None,
             )
