@@ -392,3 +392,27 @@ def test_certificate_sound_at_kp1(rng):
         o, d, scene.triangles, scene.bvh, kp=1, tables=scene.ptables
     )
     _assert_exact_up_to_conditioning(ver["t"], brute["t"])
+
+
+def test_halves_bit_identical(rng):
+    """The stage-generator driver (traverse_pallas.HALVES) is a pure
+    scheduling knob: any sub-tile split must produce BIT-identical
+    results (all kernel reductions run along the candidate axis, never
+    across lanes). Guards the round-4 generator restructure."""
+    mesh = random_mesh(900, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    outs = []
+    for halves in (1, 2, 4):
+        hit = tp.intersect_bvh_pallas(
+            o, d, scene.triangles, scene.bvh, kp=4, ksel=8,
+            tables=scene.ptables, fuse_attr=True, halves=halves,
+        )
+        outs.append(hit)
+    for hit in outs[1:]:
+        for k in ("t", "u", "v", "tri", "dropped_min", "attrs"):
+            np.testing.assert_array_equal(
+                np.asarray(outs[0][k]), np.asarray(hit[k]), err_msg=k
+            )
