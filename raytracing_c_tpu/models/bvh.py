@@ -20,9 +20,25 @@ triangles above the leaf row descend through a single-child chain to depth 0
 instead of writing to a negative offset (latent reference bug for sparse
 shapes); and the 12-thread task pool (scene.c:244-309) is replaced by
 vectorized numpy argsorts — BVH build is host-side work, not a device concern.
+
+Beyond-parity splitter (round 4, `sah=True` / RAYTPU_BVH_SAH): the
+reference always splits a slice near its midpoint (partition_count) and
+only chooses the AXIS by summed child surface area. Within the SAME
+implicit topology the split POSITION is free to be any multiple of
+`per_child` (every binary split at a multiple keeps all final child
+ranges full blocks plus one remainder, so a node still finishes with
+<= 8 children), so the SAH mode sweeps every valid position on all 3
+axes with prefix/suffix AABBs and picks the minimum of the surface-area
+heuristic cost SA_L*n_L + SA_R*n_R. The tree is IMAGE-INVARIANT — the
+verified traversal is exact against the brute-force oracle for any valid
+tree (tests/test_traverse_topk.py) — so splitter quality is purely a
+performance lever: tighter child boxes mean fewer candidate leaf groups
+per ray and fewer certificate suspects.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -64,13 +80,23 @@ def partition_count(n_triangles: int, per_child: int) -> int:
     return n
 
 
-def build_bvh(mesh: HostMesh):
+#: default split mode: the reference's midpoint splitter (parity) unless
+#: RAYTPU_BVH_SAH=1 selects the beyond-parity SAH position sweep
+SAH_DEFAULT = os.environ.get("RAYTPU_BVH_SAH", "0") == "1"
+
+
+def build_bvh(mesh: HostMesh, sah: bool | None = None):
     """Build the implicit BVH.
+
+    sah: None -> SAH_DEFAULT; True sweeps split positions by SAH cost
+    (see module docstring), False is the literal reference splitter.
 
     Returns (bvh, slot_map, capacity) where slot_map is an (capacity,) int64
     array mapping each padded leaf slot to a mesh triangle index (-1 = empty
     padding slot).
     """
+    if sah is None:
+        sah = SAH_DEFAULT
     n = mesh.positions.shape[0]
     depth = required_depth(n)
     n_internal = n_internal_nodes(depth)
@@ -89,7 +115,7 @@ def build_bvh(mesh: HostMesh):
         order = np.arange(n, dtype=np.int64)
         _build_node(
             order, 0, n, 0, depth, n_internal,
-            centroids, tri_min, tri_max, mins, maxs, slot_map,
+            centroids, tri_min, tri_max, mins, maxs, slot_map, sah,
         )
 
     # row table: one node per 128-lane row, cols = component * 8 + child
@@ -126,7 +152,7 @@ def _range_aabb(order, lo, hi, tri_min, tri_max):
 
 def _build_node(
     order, lo, hi, index, depth, last_row_offset,
-    centroids, tri_min, tri_max, mins, maxs, slot_map,
+    centroids, tri_min, tri_max, mins, maxs, slot_map, sah=False,
 ):
     """Recursive node build (bvh_build, scene.c:311-414), iterative split."""
     if depth == 0:
@@ -150,24 +176,47 @@ def _build_node(
                 finished.append((sl, sh))
             continue
 
-        split = partition_count(ln, per_child)
-
-        # Pick the axis minimizing summed child surface area; the reference
-        # fully sorts by each axis and keeps the last-best (<= compare,
-        # scene.c:344-360).
-        best_axis, best_sa = 0, np.inf
         seg = order[sl:sh]
-        perms = []
-        for axis in range(3):
-            perm = np.argsort(centroids[seg, axis], kind="stable")
-            perms.append(perm)
-            left = seg[perm[:split]]
-            right = seg[perm[split:]]
-            sa = _sa(tri_min[left], tri_max[left]) + _sa(
-                tri_min[right], tri_max[right]
-            )
-            if sa <= best_sa:
-                best_sa, best_axis = sa, axis
+        if sah:
+            best_axis, best_key, split = 0, np.inf, per_child
+            perms = []
+            # every multiple of per_child is a valid binary split: both
+            # sides keep subdividing at multiples, so the node finishes
+            # with full per_child blocks + one remainder (<= 8 children)
+            ks = np.arange(1, -(-ln // per_child)) * per_child
+            for axis in range(3):
+                perm = np.argsort(centroids[seg, axis], kind="stable")
+                perms.append(perm)
+                lo_s = tri_min[seg[perm]]
+                hi_s = tri_max[seg[perm]]
+                pmin = np.minimum.accumulate(lo_s, axis=0)
+                pmax = np.maximum.accumulate(hi_s, axis=0)
+                smin = np.minimum.accumulate(lo_s[::-1], axis=0)[::-1]
+                smax = np.maximum.accumulate(hi_s[::-1], axis=0)[::-1]
+                sa_l = _sa_diag(pmax[ks - 1] - pmin[ks - 1])
+                sa_r = _sa_diag(smax[ks] - smin[ks])
+                cost = sa_l * ks + sa_r * (ln - ks)
+                j = int(np.argmin(cost))
+                if cost[j] <= best_key:  # later axis wins ties (reference)
+                    best_key, best_axis, split = cost[j], axis, int(ks[j])
+        else:
+            split = partition_count(ln, per_child)
+
+            # Pick the axis minimizing summed child surface area; the
+            # reference fully sorts by each axis and keeps the last-best
+            # (<= compare, scene.c:344-360).
+            best_axis, best_key = 0, np.inf
+            perms = []
+            for axis in range(3):
+                perm = np.argsort(centroids[seg, axis], kind="stable")
+                perms.append(perm)
+                left = seg[perm[:split]]
+                right = seg[perm[split:]]
+                sa = _sa(tri_min[left], tri_max[left]) + _sa(
+                    tri_min[right], tri_max[right]
+                )
+                if sa <= best_key:
+                    best_key, best_axis = sa, axis
 
         order[sl:sh] = seg[perms[best_axis]]
         slices.append((sl, sl + split))
@@ -181,8 +230,13 @@ def _build_node(
         maxs[index, i] = hi3
         _build_node(
             order, fl, fh, W * index + 1 + i, depth - 1, last_row_offset,
-            centroids, tri_min, tri_max, mins, maxs, slot_map,
+            centroids, tri_min, tri_max, mins, maxs, slot_map, sah,
         )
+
+
+def _sa_diag(d):
+    """Surface areas of AABBs given their (m, 3) extent vectors."""
+    return 2.0 * (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0])
 
 
 def _sa(lo, hi):

@@ -40,9 +40,10 @@ def test_partition_literal():
 
 
 @pytest.mark.parametrize("n", [2, 9, 65, 300, 1000])
-def test_build_invariants(n, rng):
+@pytest.mark.parametrize("sah", [False, True])
+def test_build_invariants(n, sah, rng):
     mesh = random_mesh(n, rng)
-    bvh, slot_map, capacity = build_bvh(mesh)
+    bvh, slot_map, capacity = build_bvh(mesh, sah=sah)
 
     depth = required_depth(n)
     assert bvh.depth == depth
@@ -113,6 +114,27 @@ def test_traversal_matches_bruteforce(n, rng):
         np.testing.assert_allclose(
             bt[hit_mask][disagree], vt[hit_mask][disagree], rtol=1e-6
         )
+
+
+def test_sah_tree_oracle_exact(rng):
+    """The SAH-position tree is image-invariant: traversal over it must
+    match the brute-force oracle exactly (the tree is a pure perf lever —
+    models/bvh.py module docstring)."""
+    from raytracing_c_tpu.models.scene import pack_triangles, Scene
+
+    mesh = random_mesh(700, rng)
+    bvh, slot_map, _cap = build_bvh(mesh, sah=True)
+    tris = pack_triangles(mesh, slot_map)
+    origin, direction = random_rays(256, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+    brute = intersect.intersect_bruteforce(o, d, tris)
+    ver = traverse.intersect_bvh_verified(o, d, tris, bvh)
+    # rtol covers the grazing-hit conditioning class only (brute schedules
+    # the same MT formula differently; see traverse_pallas.py soundness
+    # notes) — hit/miss sets must agree exactly
+    np.testing.assert_allclose(
+        np.asarray(ver["t"]), np.asarray(brute["t"]), rtol=1e-5
+    )
 
 
 def test_inactive_rays_skip(rng):
