@@ -65,6 +65,7 @@ only; the certificate reads back exact distances.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 import jax
@@ -148,26 +149,96 @@ def _extract(keys, n, payload=None):
     raytracer.c:459-474, made rank-based). Returns ((n, R) keys, remaining)
     — plus the popped entries' (n, R) `payload` values when given (the
     pop's one-hot mask extracts them for free; a separate _match_select
-    would recompute every mask). Valid keys are unique (id bits), so
-    `== m` masks exactly one entry. `remaining` is the INPUT array with
-    popped entries masked to MAXI in place, so callers can recover the
-    un-rounded f32 distance of every unselected candidate (the exact
-    certificate) by masking the original distances with
+    would recompute every mask). `payload` may be one (C, R) array or a
+    tuple of them (each popped under the same mask). Valid keys are unique
+    (id bits), so `== m` masks exactly one entry. `remaining` is the INPUT
+    array with popped entries masked to MAXI in place, so callers can
+    recover the un-rounded f32 distance of every unselected candidate (the
+    exact certificate) by masking the original distances with
     `remaining != MAXI`."""
-    sels, pays = [], []
+    single = payload is not None and not isinstance(payload, tuple)
+    pls = (payload,) if single else (payload or ())
+    sels = []
+    pays = [[] for _ in pls]
     for _ in range(n):
         m = jnp.min(keys, axis=0, keepdims=True)
         sels.append(m)
         mask = keys == m
-        if payload is not None:
-            pays.append(
-                jnp.sum(jnp.where(mask, payload, 0), axis=0, keepdims=True)
+        for j, pl_ in enumerate(pls):
+            pays[j].append(
+                jnp.sum(jnp.where(mask, pl_, 0), axis=0, keepdims=True)
             )
         keys = jnp.where(mask, MAXI, keys)
     sel = jnp.concatenate(sels, axis=0)
-    if payload is not None:
-        return sel, keys, jnp.concatenate(pays, axis=0)
-    return sel, keys
+    if payload is None:
+        return sel, keys
+    cat = tuple(jnp.concatenate(p, axis=0) for p in pays)
+    return (sel, keys, cat[0]) if single else (sel, keys, cat)
+
+
+#: level-selection mode for the ksel=8 tier-0 pass. "extract" = exact
+#: global top-8 via 8 sequential min-pops (the reference's nearest-first
+#: order, raytracer.c:459-474); "parent" = ONE min-pop per parent octet
+#: (best child per selected parent). Selection quality only moves the
+#: SUSPECT RATE — every dropped candidate still feeds the exactness
+#: certificate, so hits stay oracle-exact either way — while the pop
+#: chain was measured at 2.3 ms/256k of serial VPU time (ablation,
+#: docs/PERF.md r4 wave 2): parent mode does 1/8th of that work.
+#: Wide repair tiers (ksel=16) always keep the exact global extraction.
+#: Decided by full-bench A/B per the round-3 lesson.
+SELMODE = os.environ.get("RAYTPU_TIER0_SELMODE", "extract")
+
+#: tile-shared leaf/attr fetch. The per-lane one-hot fetch costs
+#: rows x G x R MACs, but the MXU pads its contraction dim to 128 — so
+#: on tables wider than 128 columns (helmet leaf: G=256) the same rows
+#: can be staged through a per-tile shared buffer of <= 128 slots for
+#: half the MACs: lanes in a tile want nearly identical groups (per-tile
+#: unions: mean 7.6 / p95 21, tools/sah_probe.py), so the tile fetches
+#: the UNION of its lanes' selected groups once (one rows x G x U
+#: matmul, amortized over the tile) and each lane refetches from the
+#: U-slot buffer at contraction 128. A lane whose group overflowed the
+#: buffer (union > U, incoherent deep bounces) contributes that group's
+#: EXACT entry distance to the certificate instead — the verified tiers
+#: repair it, so hits stay oracle-exact. Auto-disabled when it cannot
+#: win: G <= 128 tables (tower), wide repair passes (ksel > 8), bf16x3
+#: tables. Default ON per the full-bench A/B (docs/PERF.md r4 wave 6):
+#: helmet 9.60 -> 9.88 device Mrays/s, tower unchanged (gate inactive),
+#: images bit-identical (hit lanes exact; only miss-lane junk u/v differ,
+#: masked by every consumer).
+SHARED = os.environ.get("RAYTPU_TIER0_SHARED", "1") == "1"
+
+#: shared-buffer slots: the MXU contraction floor — fewer slots do not
+#: shrink the refetch matmul, more would double it
+SHARED_U = 128
+
+
+def _extract_per_parent(keys, payload):
+    """SELMODE "parent": pop the single smallest key of each parent's
+    8-child octet of a (W*n_par, R) key array — n_par pops of (W, R) work
+    instead of n_par pops of (W*n_par, R). Valid keys are globally unique
+    (id bits), so `== m` matches exactly one entry per octet. Returns
+    (sel (n_par, R), remaining-with-popped-masked, payloads (n_par, R))
+    with the same contract as _extract: `remaining != MAXI` masks the
+    unselected candidates whose exact distances feed the certificate."""
+    n_par = keys.shape[0] // W
+    sels, pays, rems = [], [], []
+    for p in range(n_par):
+        ks = keys[p * W : (p + 1) * W]
+        m = jnp.min(ks, axis=0, keepdims=True)
+        mask = ks == m
+        sels.append(m)
+        pays.append(
+            jnp.sum(
+                jnp.where(mask, payload[p * W : (p + 1) * W], 0),
+                axis=0, keepdims=True,
+            )
+        )
+        rems.append(jnp.where(mask, MAXI, ks))
+    return (
+        jnp.concatenate(sels, axis=0),
+        jnp.concatenate(rems, axis=0),
+        jnp.concatenate(pays, axis=0),
+    )
 
 
 def _slab48(rows, o, inv, tmax):
@@ -217,27 +288,8 @@ def _fetch_split(table_ref, ids, interp: bool = False):
     g = table_ref.shape[1]
     r = ids.shape[-1]
     if table_ref.dtype == jnp.int8:
-        w = table_ref.shape[0] // 4
-        if interp:
-            oh = (_iota((g, r), 0) == ids).astype(jnp.float32)
-            out = jax.lax.dot_general(
-                table_ref[:].astype(jnp.float32), oh,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)  # exact: accumulated bytes in [-128, 127]
-        else:
-            oh = (_iota((g, r), 0) == ids).astype(jnp.int8)
-            out = jax.lax.dot_general(
-                table_ref[:], oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-        word = (
-            (out[:w] & 0xFF)
-            | ((out[w : 2 * w] & 0xFF) << 8)
-            | ((out[2 * w : 3 * w] & 0xFF) << 16)
-            | (out[3 * w :] << 24)
-        )
-        return jax.lax.bitcast_convert_type(word, jnp.float32)
+        oh = (_iota((g, r), 0) == ids)
+        return _fetch_i8_oh(table_ref, oh, interp)
     w = table_ref.shape[0] // 3
     dt = jnp.float32 if interp else jnp.bfloat16
     oh = (_iota((g, r), 0) == ids).astype(dt)
@@ -246,6 +298,41 @@ def _fetch_split(table_ref, ids, interp: bool = False):
         preferred_element_type=jnp.float32,
     )
     return out[:w] + out[w : 2 * w] + out[2 * w :]
+
+
+def _dot_i8(table, oh, interp):
+    """int8-plane one-hot matmul: (P, G) s8 table x (G, R) bool one-hot ->
+    (P, R) s32 (each output element = one stored byte, exactly). Under
+    interpret the planes upcast to f32 (exact: bytes in [-128, 127]; the
+    CPU f32 matmul is exact and 10x faster than emulated s8)."""
+    if interp:
+        out = jax.lax.dot_general(
+            table[:].astype(jnp.float32), oh.astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+    else:
+        out = jax.lax.dot_general(
+            table[:], oh.astype(jnp.int8), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    return out
+
+
+def _fetch_i8_oh(table, oh, interp):
+    """int8x4 fetch core from an explicit (G, R) bool one-hot: 4-plane s8
+    matmul + word reassembly -> exact stored f32 rows. oh may have MULTIPLE
+    hot entries per lane only if the extra columns are all-zero (adding
+    zeros is exact — the shared-buffer empty-slot case)."""
+    w = table.shape[0] // 4
+    out = _dot_i8(table, oh, interp)
+    word = (
+        (out[:w] & 0xFF)
+        | ((out[w : 2 * w] & 0xFF) << 8)
+        | ((out[2 * w : 3 * w] & 0xFF) << 16)
+        | (out[3 * w :] << 24)
+    )
+    return jax.lax.bitcast_convert_type(word, jnp.float32)
 
 
 def _split3(x: np.ndarray) -> np.ndarray:
@@ -323,8 +410,8 @@ def _split3_traced(x):
 HALVES = 1
 
 
-def _traverse_kernel(depth, ksel, kp, interp, fuse, halves, rays_ref,
-                     root_ref, *refs):
+def _traverse_kernel(depth, ksel, kp, interp, fuse, halves, selmode, shared,
+                     rays_ref, root_ref, *refs):
     """The kernel body. refs = node level tables (levels 1..depth-1),
     leaf super table, [gmap, attr when fuse], out_ref. ksel = candidates
     kept per level; kp = leaf groups fetched; interp = interpret mode
@@ -352,7 +439,7 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, halves, rays_ref,
     w = r // h
     gens = [
         _traverse_stages(
-            depth, ksel, kp, interp, fuse,
+            depth, ksel, kp, interp, fuse, selmode, shared,
             rays_ref[:, i * w : (i + 1) * w], root_ref, node_refs,
             leaf_ref, gmap_ref, attr_ref,
         )
@@ -370,8 +457,8 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, halves, rays_ref,
     out_ref[:] = jnp.concatenate(outs, axis=1) if h > 1 else outs[0]
 
 
-def _traverse_stages(depth, ksel, kp, interp, fuse, rays, root_ref,
-                     node_refs, leaf_ref, gmap_ref, attr_ref):
+def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
+                     root_ref, node_refs, leaf_ref, gmap_ref, attr_ref):
     """One sub-tile's traversal as a generator: `yield` marks a stage
     boundary where the round-robin driver switches to the other sub-tile
     (MXU fetches of one interleave with VPU slab/extract of the other).
@@ -429,7 +516,12 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, rays, root_ref,
 
         n = min(ksel, cand_d.shape[0])
         keys = _pack(cand_d, cand_id)
-        sel, rem, sel_cid = _extract(keys, n, payload=cand_cid)
+        if selmode == "parent" and n == W and cand_d.shape[0] == W * W:
+            # tier-0 only (ksel=8 over exactly 8 parent octets); the wide
+            # ksel=16 repair tiers keep the exact global top-k
+            sel, rem, sel_cid = _extract_per_parent(keys, cand_cid)
+        else:
+            sel, rem, sel_cid = _extract(keys, n, payload=cand_cid)
         yield
         # certificate from the EXACT f32 distances of the unselected
         # candidates (decoding the rounded keys instead costs ~0.01%
@@ -505,17 +597,22 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, rays, root_ref,
             [cand_cid[p * W : p * W + 1] for p in range(n_par)], axis=0
         )
         gkeys = _pack(gmin_d, pgrel)
-        sel, grem, gcids = _extract(gkeys, min(kp, n_par), payload=pgcid)
+        # shared-buffer staging wins only when the leaf table is wider
+        # than the 128-lane MXU contraction floor, on int8x4 tables, and
+        # never for the wide (ksel>8) repair passes whose unions blow up
+        use_shared = (
+            shared and ksel <= W and leaf_ref.dtype == jnp.int8
+            and leaf_ref.shape[1] > SHARED_U
+        )
+        if use_shared:
+            sel, grem, (gcids, gdist) = _extract(
+                gkeys, min(kp, n_par), payload=(pgcid, gmin_d)
+            )
+        else:
+            sel, grem, gcids = _extract(
+                gkeys, min(kp, n_par), payload=pgcid
+            )
         yield
-        groups = []
-        for k in range(sel.shape[0]):
-            row = sel[k : k + 1]
-            has = row < BIG_BITS
-            grel = row & ID_MASK
-            gcid = gcids[k : k + 1]
-            f = _fetch_split(leaf_ref, gcid, interp)  # (576, R)
-            groups.append((f, grel, has, gcid))
-            yield
 
         dropped = jnp.minimum(
             dropped,
@@ -524,6 +621,89 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, rays, root_ref,
                 axis=0, keepdims=True,
             ),
         )
+
+        groups = []
+        shared_ctx = None
+        if use_shared:
+            g = leaf_ref.shape[1]
+            u = SHARED_U
+            kk = sel.shape[0]
+            valid_rows = sel < BIG_BITS  # (kk, R)
+            # union of the tile's wanted groups, as per-k one-hots
+            want = None
+            for k in range(kk):
+                wk = (_iota((g, r), 0) == gcids[k : k + 1]) \
+                    & valid_rows[k : k + 1]
+                want = wk if want is None else (want | wk)
+            present = jnp.max(want.astype(jnp.int32), axis=1,
+                              keepdims=True)  # (g, 1)
+            yield
+            # slot(g) = inclusive prefix count - 1; cumsum along sublanes
+            # is not Mosaic-lowerable, so count via a lower-triangular s8
+            # matmul (s32 accumulate is exact)
+            tril = (_iota((g, g), 0) >= _iota((g, g), 1)).astype(jnp.int8)
+            cnt = _dot_i8(tril, present > 0, interp)  # (g, 1) s32
+            oh_sh = ((cnt - 1) == _iota((g, u), 1)) & (present > 0) \
+                & (cnt <= u)  # (g, u): slot u holds the u-th wanted group
+            # each slot's compact group id, via a 2-byte s8 matmul (the
+            # platform bf16-grade f32 matmul ROUNDS integers > 256 — the
+            # round-3 hardware bug; empty slots read 0, which is benign:
+            # their buffer columns are all-zero and adding zeros is exact)
+            cid_iota = _iota((g, 1), 0)
+            lo = cid_iota & 0xFF
+            lo = lo - ((lo >> 7) << 8)  # wrap to signed before the s8 cast
+            cidb = jnp.concatenate(
+                [lo, cid_iota >> 8], axis=1
+            ).astype(jnp.int8)  # (g, 2)
+            selb = jax.lax.dot_general(
+                oh_sh.astype(jnp.float32 if interp else jnp.int8),
+                cidb.astype(jnp.float32) if interp else cidb,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32 if interp else jnp.int32,
+            )
+            selb = selb.astype(jnp.int32)
+            sel_g = (selb[:, 0:1] & 0xFF) | (selb[:, 1:2] << 8)  # (u, 1)
+            yield
+            # ONE wide fetch stages the union's rows into the u-slot
+            # buffer; byte values stay exact through the s32 accumulate
+            leaf_buf = _dot_i8(leaf_ref, oh_sh, interp).astype(jnp.int8)
+            yield
+            attr_buf = None
+            if fuse:
+                attr_buf = _dot_i8(attr_ref, oh_sh, interp).astype(jnp.int8)
+                yield
+            shared_ctx = (sel_g, attr_buf)
+
+            for k in range(kk):
+                row = sel[k : k + 1]
+                grel = row & ID_MASK
+                gcid = gcids[k : k + 1]
+                ohs = (sel_g == gcid) & valid_rows[k : k + 1]  # (u, R)
+                in_buf = jnp.any(ohs, axis=0, keepdims=True)
+                # refetch from the buffer at contraction u (multi-hot only
+                # on all-zero empty-slot columns — exact, see _fetch_i8_oh)
+                f = _fetch_i8_oh(leaf_buf, ohs, interp)  # (576, R)
+                has = valid_rows[k : k + 1] & in_buf
+                # a wanted group that overflowed the buffer joins the
+                # certificate with its EXACT entry distance instead
+                dropped = jnp.minimum(
+                    dropped,
+                    jnp.where(
+                        valid_rows[k : k + 1] & ~in_buf,
+                        gdist[k : k + 1], INF,
+                    ),
+                )
+                groups.append((f, grel, has, gcid))
+                yield
+        else:
+            for k in range(sel.shape[0]):
+                row = sel[k : k + 1]
+                has = row < BIG_BITS
+                grel = row & ID_MASK
+                gcid = gcids[k : k + 1]
+                f = _fetch_split(leaf_ref, gcid, interp)  # (576, R)
+                groups.append((f, grel, has, gcid))
+                yield
 
     # --- Moller-Trumbore over each selected group's 64 triangles -----------
     best_t = jnp.full((1, r), INF)
@@ -578,9 +758,21 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, rays, root_ref,
         for _f, grel, has, gcid in groups:
             win_cid = jnp.where((grel == wg) & has, gcid, win_cid)
         yield
+        cols = None
+        if shared_ctx is not None:
+            # the winner's group is one of the just-staged buffer slots
+            # (only has=in-buffer groups can win) — refetch its attr rows
+            # at contraction u instead of the full-width attr table.
+            # Miss lanes (win_cid 0) match group-0's slot or all-zero
+            # empty slots; either way downstream masks them.
+            sel_g, attr_buf = shared_ctx
+            oh_win = sel_g == win_cid
+            cols = _fetch_i8_oh(attr_buf, oh_win, interp)
+            yield
         attrs = _interp_attrs(
             depth, interp, gmap_ref, attr_ref,
             jnp.maximum(best_tri, 0), best_u, best_v, cid=win_cid,
+            cols=cols,
         )
         return jnp.concatenate([hit_rows, attrs], axis=0)
     return hit_rows
@@ -844,6 +1036,7 @@ def intersect_bvh_pallas(
     ksel: int = 8, t_max=None, tables: PallasTables | None = None,
     interpret: bool | None = None, tile: int | None = None,
     fuse_attr: bool = False, halves: int | None = None,
+    selmode: str | None = None, shared: bool | None = None,
 ):
     """Single-pass fused traversal (Pallas). Returns dict(t, tri, u, v,
     dropped_min) with the same semantics/certificate as
@@ -856,6 +1049,10 @@ def intersect_bvh_pallas(
     strictly closer than t_max can be found/certified).
     halves: independent interleaved sub-tiles (None -> module default
     HALVES); any value is bit-exact, it only changes scheduling.
+    selmode: tier-0 level-selection mode (None -> module default SELMODE,
+    env RAYTPU_TIER0_SELMODE). "parent" trades exact global top-8 ranking
+    for one min-pop per parent octet — certified hits stay oracle-exact,
+    only the suspect rate moves (see SELMODE).
     fuse_attr: also interpolate the winner's 25 shading attributes
     in-kernel (requires host-built tables with attr/gmap); adds an
     "attrs" entry — the (16, R) _interp_attrs planes — to the result.
@@ -898,9 +1095,14 @@ def intersect_bvh_pallas(
     )
     if halves is None:
         halves = HALVES
+    if selmode is None:
+        selmode = SELMODE
+    if shared is None:
+        shared = SHARED
     out = pl.pallas_call(
         functools.partial(
-            _traverse_kernel, depth, ksel, kp, interpret, fuse, halves
+            _traverse_kernel, depth, ksel, kp, interpret, fuse, halves,
+            selmode, shared,
         ),
         grid=(r_pad // tile,),
         in_specs=[
@@ -932,6 +1134,7 @@ def intersect_bvh_pallas_forest(
     origin: Vec3, direction: Vec3, forest: ForestTables, active=None,
     kp: int = 2, ksel: int = 8, t_max=None, interpret: bool | None = None,
     tile: int | None = None, fuse_attr: bool = False,
+    selmode: str | None = None, shared: bool | None = None,
 ):
     """Run the fused kernel once per subtree, threading the running best
     hit in as each call's per-ray t_max bound. fuse_attr: each subtree
@@ -959,7 +1162,7 @@ def intersect_bvh_pallas_forest(
         hit = intersect_bvh_pallas(
             origin, direction, None, None, active, kp=kp, ksel=ksel,
             t_max=bound, tables=st, interpret=interpret, tile=tile,
-            fuse_attr=fuse_attr,
+            fuse_attr=fuse_attr, selmode=selmode, shared=shared,
         )
         hit["tri"] = jnp.where(hit["tri"] >= 0, hit["tri"] + base, -1)
         if best is None:
@@ -983,7 +1186,8 @@ def intersect_bvh_pallas_forest(
     return best
 
 
-def _interp_attrs(depth, interp, gmap_ref, attr_ref, tri, u, v, cid=None):
+def _interp_attrs(depth, interp, gmap_ref, attr_ref, tri, u, v, cid=None,
+                  cols=None):
     """Shared attribute fetch + interpolation core: one-hot matmul against
     the VMEM-resident attr super table (canonical group -> compact column
     via `gmap`, then a 64-wide position select), interpolation matching
@@ -1013,7 +1217,8 @@ def _interp_attrs(depth, interp, gmap_ref, attr_ref, tri, u, v, cid=None):
             ).astype(jnp.int32)
         else:
             cid = jnp.zeros((1, r), jnp.int32)
-    cols = _fetch_split(attr_ref, cid, interp)  # (1600, r)
+    if cols is None:
+        cols = _fetch_split(attr_ref, cid, interp)  # (1600, r)
 
     pos = tri & 63
     oh_p = _iota((64, r), 0) == pos

@@ -416,3 +416,79 @@ def test_halves_bit_identical(rng):
             np.testing.assert_array_equal(
                 np.asarray(outs[0][k]), np.asarray(hit[k]), err_msg=k
             )
+
+
+def test_shared_fetch_matches_direct(rng):
+    """Tile-shared leaf/attr staging (traverse_pallas.SHARED): on a table
+    wider than the 128-slot buffer, shared and direct tier-0 must agree
+    exactly on every lane the shared pass could serve (its group was in
+    the buffer); lanes it could NOT serve must carry the certificate.
+    On hit lanes where both found the same winner, t/u/v/tri AND the
+    fused attrs are bit-identical (the staged bytes are exact transport)."""
+    mesh = random_mesh(9000, rng)
+    scene = simple_scene(mesh)
+    assert scene.ptables.leaf.shape[1] > tp.SHARED_U  # shared engages
+
+    origin, direction = random_rays(768, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    a = tp.intersect_bvh_pallas(
+        o, d, scene.triangles, scene.bvh, kp=4, tables=scene.ptables,
+        shared=False, fuse_attr=True,
+    )
+    b = tp.intersect_bvh_pallas(
+        o, d, scene.triangles, scene.bvh, kp=4, tables=scene.ptables,
+        shared=True, fuse_attr=True,
+    )
+    ta, tb = np.asarray(a["t"]), np.asarray(b["t"])
+    sus_b = np.asarray(b["dropped_min"]) < tb
+    # every divergence is a buffer-overflow lane, and those are certified
+    diff = ~((ta == tb) | (np.isinf(ta) & np.isinf(tb)))
+    assert (sus_b | ~diff).all(), "uncertified divergence"
+    # agreeing hit lanes are bit-identical through the fused attrs
+    m = (np.asarray(a["tri"]) == np.asarray(b["tri"])) & \
+        (np.asarray(a["tri"]) >= 0) & (ta == tb)
+    assert m.any()
+    for k in ("u", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(a[k])[m], np.asarray(b[k])[m], err_msg=k
+        )
+    np.testing.assert_array_equal(
+        np.asarray(a["attrs"])[:, m], np.asarray(b["attrs"])[:, m]
+    )
+
+
+def test_shared_fetch_overflow_verified_exact(rng, monkeypatch):
+    """Overflow stress: with the slot budget crushed to 8, most lanes'
+    groups miss the buffer — the exact-distance certificate must flag
+    every one of them, and the verified wrapper must still land on the
+    brute-force oracle."""
+    monkeypatch.setattr(tp, "SHARED_U", 8)
+    monkeypatch.setattr(tp, "SHARED", True)
+    mesh = random_mesh(9000, rng)
+    scene = simple_scene(mesh)
+    assert scene.ptables.leaf.shape[1] > 8
+
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+    brute = intersect.intersect_bruteforce(o, d, scene.triangles)
+
+    pal = tp.intersect_bvh_pallas(
+        o, d, scene.triangles, scene.bvh, kp=4, tables=scene.ptables,
+        shared=True,
+    )
+
+    def fin(a):
+        return np.where(np.isfinite(a), a, 1e30)
+
+    got, want = fin(np.asarray(pal["t"])), fin(np.asarray(brute["t"]))
+    tight = np.isclose(got, want, rtol=1e-5, atol=1e-6)
+    loose = np.isclose(got, want, rtol=1e-2, atol=1e-4)
+    suspect = np.asarray(pal["dropped_min"]) < np.asarray(pal["t"])
+    assert suspect.any()  # the stress actually fired
+    assert not (~tight & ~suspect & ~loose).any()
+
+    ver = traverse.intersect_bvh_pallas_verified(
+        o, d, scene.triangles, scene.bvh, tables=scene.ptables,
+    )
+    _assert_exact_up_to_conditioning(ver["t"], brute["t"])
