@@ -241,6 +241,58 @@ def _extract_per_parent(keys, payload):
     )
 
 
+def _stage_union(tables, gcids, valid_rows, interp):
+    """Stage the tile's UNION of wanted columns into <=SHARED_U-slot
+    buffers (see SHARED). gcids/valid_rows: (k, R) compact column ids and
+    validity. Yields None at stage boundaries (generator protocol) and
+    finally (bufs, sel_g): bufs[i] = (P_i, U) s8 staged copy of tables[i]
+    restricted to the union; sel_g = (U, 1) i32 column id per slot (0 for
+    empty slots, whose buffer columns are all-zero — adding zeros in a
+    multi-hot refetch is exact).
+
+    Per-lane consumption: ohs = (sel_g == gcids[k]) & valid_rows[k] is a
+    (U, R) one-hot into the buffers; jnp.any(ohs, 0) tells whether the
+    lane's column made the buffer (overflow lanes must fall back to the
+    exactness certificate)."""
+    g = tables[0].shape[1]
+    u = SHARED_U
+    kk = gcids.shape[0]
+    r = gcids.shape[1]
+    want = None
+    for k in range(kk):
+        wk = (_iota((g, r), 0) == gcids[k : k + 1]) \
+            & valid_rows[k : k + 1]
+        want = wk if want is None else (want | wk)
+    present = jnp.max(want.astype(jnp.int32), axis=1, keepdims=True)
+    yield
+    # slot(g) = inclusive prefix count - 1; cumsum along sublanes is not
+    # Mosaic-lowerable, so count via a lower-triangular s8 matmul (s32
+    # accumulate is exact)
+    tril = (_iota((g, g), 0) >= _iota((g, g), 1)).astype(jnp.int8)
+    cnt = _dot_i8(tril, present > 0, interp)  # (g, 1) s32
+    oh_sh = ((cnt - 1) == _iota((g, u), 1)) & (present > 0) & (cnt <= u)
+    # each slot's column id, via a 2-byte s8 matmul (the platform
+    # bf16-grade f32 matmul ROUNDS integers > 256 — the round-3 hardware
+    # bug)
+    cid_iota = _iota((g, 1), 0)
+    lo = cid_iota & 0xFF
+    lo = lo - ((lo >> 7) << 8)  # wrap to signed before the s8 cast
+    cidb = jnp.concatenate([lo, cid_iota >> 8], axis=1).astype(jnp.int8)
+    selb = jax.lax.dot_general(
+        oh_sh.astype(jnp.float32 if interp else jnp.int8),
+        cidb.astype(jnp.float32) if interp else cidb,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32 if interp else jnp.int32,
+    ).astype(jnp.int32)
+    sel_g = (selb[:, 0:1] & 0xFF) | (selb[:, 1:2] << 8)  # (u, 1)
+    yield
+    bufs = []
+    for t in tables:
+        bufs.append(_dot_i8(t, oh_sh, interp).astype(jnp.int8))
+        yield
+    return bufs, sel_g
+
+
 def _slab48(rows, o, inv, tmax):
     """rows: (>=48, C) node row [component*8 + child] -> (8, C*R or R)
     entry distances via the shared slab test (raytracer.c:190-230)."""
@@ -516,7 +568,20 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
 
         n = min(ksel, cand_d.shape[0])
         keys = _pack(cand_d, cand_id)
-        if selmode == "parent" and n == W and cand_d.shape[0] == W * W:
+        # node tables wider than the 128-lane contraction floor stage
+        # through the same union buffer as the leaf phase (helmet's
+        # level-3 table is 256 wide: 8 fetches/lane at half the MACs)
+        stage_nodes = (
+            shared and ksel <= W and selmode == "extract"
+            and node_refs[li].dtype == jnp.int8
+            and node_refs[li].shape[1] > SHARED_U
+        )
+        sel_dist = None
+        if stage_nodes:
+            sel, rem, (sel_cid, sel_dist) = _extract(
+                keys, n, payload=(cand_cid, cand_d)
+            )
+        elif selmode == "parent" and n == W and cand_d.shape[0] == W * W:
             # tier-0 only (ksel=8 over exactly 8 parent octets); the wide
             # ksel=16 repair tiers keep the exact global top-k
             sel, rem, sel_cid = _extract_per_parent(keys, cand_cid)
@@ -536,13 +601,34 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
         sel_ids = sel & ID_MASK  # (n, R)
         sel_valid = sel < BIG_BITS
 
+        node_buf = node_selg = None
+        if stage_nodes:
+            (node_buf,), node_selg = yield from _stage_union(
+                [node_refs[li]], sel_cid, sel_valid, interp
+            )
+
         last = li == depth - 2
         new_d, new_id, new_cid = [], [], []
         for k in range(sel_ids.shape[0]):
-            rows = _fetch_split(node_refs[li], sel_cid[k : k + 1], interp)  # (NROWS, R)
+            valid_k = sel_valid[k : k + 1]
+            if stage_nodes:
+                ohs = (node_selg == sel_cid[k : k + 1]) & valid_k
+                in_buf = jnp.any(ohs, axis=0, keepdims=True)
+                rows = _fetch_i8_oh(node_buf, ohs, interp)  # (NROWS, R)
+                # a selected node that overflowed the buffer is dropped
+                # with its EXACT entry distance (certificate -> repair)
+                dropped = jnp.minimum(
+                    dropped,
+                    jnp.where(valid_k & ~in_buf, sel_dist[k : k + 1], INF),
+                )
+                valid_k = valid_k & in_buf
+            else:
+                rows = _fetch_split(
+                    node_refs[li], sel_cid[k : k + 1], interp
+                )  # (NROWS, R)
             yield
             d8 = _slab48(rows, o, inv, tmax)  # (8, R)
-            new_d.append(jnp.where(sel_valid[k : k + 1], d8, INF))
+            new_d.append(jnp.where(valid_k, d8, INF))
             new_id.append(sel_ids[k : k + 1] * W + _iota((W, 1), 0))
             if last:
                 # children are leaf blocks; their super-row lives at the
@@ -561,6 +647,7 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
     # cand_cid the compact leaf-super column of each block's parent
 
     # --- leaf phase ----------------------------------------------------------
+    shared_ctx = None
     if depth == 1:
         # single group: the root's children ARE the blocks (scene.c:224-233
         # clamped to depth >= 1 — see models/bvh.py). Static fetch.
@@ -623,55 +710,15 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
         )
 
         groups = []
-        shared_ctx = None
         if use_shared:
-            g = leaf_ref.shape[1]
-            u = SHARED_U
             kk = sel.shape[0]
             valid_rows = sel < BIG_BITS  # (kk, R)
-            # union of the tile's wanted groups, as per-k one-hots
-            want = None
-            for k in range(kk):
-                wk = (_iota((g, r), 0) == gcids[k : k + 1]) \
-                    & valid_rows[k : k + 1]
-                want = wk if want is None else (want | wk)
-            present = jnp.max(want.astype(jnp.int32), axis=1,
-                              keepdims=True)  # (g, 1)
-            yield
-            # slot(g) = inclusive prefix count - 1; cumsum along sublanes
-            # is not Mosaic-lowerable, so count via a lower-triangular s8
-            # matmul (s32 accumulate is exact)
-            tril = (_iota((g, g), 0) >= _iota((g, g), 1)).astype(jnp.int8)
-            cnt = _dot_i8(tril, present > 0, interp)  # (g, 1) s32
-            oh_sh = ((cnt - 1) == _iota((g, u), 1)) & (present > 0) \
-                & (cnt <= u)  # (g, u): slot u holds the u-th wanted group
-            # each slot's compact group id, via a 2-byte s8 matmul (the
-            # platform bf16-grade f32 matmul ROUNDS integers > 256 — the
-            # round-3 hardware bug; empty slots read 0, which is benign:
-            # their buffer columns are all-zero and adding zeros is exact)
-            cid_iota = _iota((g, 1), 0)
-            lo = cid_iota & 0xFF
-            lo = lo - ((lo >> 7) << 8)  # wrap to signed before the s8 cast
-            cidb = jnp.concatenate(
-                [lo, cid_iota >> 8], axis=1
-            ).astype(jnp.int8)  # (g, 2)
-            selb = jax.lax.dot_general(
-                oh_sh.astype(jnp.float32 if interp else jnp.int8),
-                cidb.astype(jnp.float32) if interp else cidb,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32 if interp else jnp.int32,
+            tabs = [leaf_ref] + ([attr_ref] if fuse else [])
+            bufs, sel_g = yield from _stage_union(
+                tabs, gcids, valid_rows, interp
             )
-            selb = selb.astype(jnp.int32)
-            sel_g = (selb[:, 0:1] & 0xFF) | (selb[:, 1:2] << 8)  # (u, 1)
-            yield
-            # ONE wide fetch stages the union's rows into the u-slot
-            # buffer; byte values stay exact through the s32 accumulate
-            leaf_buf = _dot_i8(leaf_ref, oh_sh, interp).astype(jnp.int8)
-            yield
-            attr_buf = None
-            if fuse:
-                attr_buf = _dot_i8(attr_ref, oh_sh, interp).astype(jnp.int8)
-                yield
+            leaf_buf = bufs[0]
+            attr_buf = bufs[1] if fuse else None
             shared_ctx = (sel_g, attr_buf)
 
             for k in range(kk):

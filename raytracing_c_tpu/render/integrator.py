@@ -21,6 +21,8 @@ Semantics preserved exactly:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -347,6 +349,16 @@ _SORT_PLANES = (
 #: smallest bucket: a few Pallas tiles so the kernel grid stays busy
 _MIN_BUCKET = 4096
 
+#: extra 5r/16 ladder rung between r/2 and r/8 (6 switch branches).
+#: The round-3 occupancy census prices the r/2 rung as the ladder's
+#: biggest padding source: helmet bounce-1 runs ~295k live lanes at
+#: 512k width (43% padding on the second-widest bounce). A 320k rung
+#: captures it, and an ADDED rung can never regress (every bounce still
+#: picks the narrowest width that holds its live count) — the cost is
+#: one more branch's compile time. Env knob for A/B; default per the
+#: full-bench measurement in docs/PERF.md round 4.
+_LADDER_516 = os.environ.get("RAYTPU_LADDER516", "1") == "1"
+
 #: experiment hook (tools/octant_ab.py): secondary bucket-sort key = ray
 #: direction octant, clustering lanes by direction for fetch coherence.
 #: A/B'd on chip — see docs/PERF.md for the measured verdict.
@@ -398,6 +410,11 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
     while len(widths) < 5 and widths[-1] // div >= _MIN_BUCKET:
         widths.append(widths[-1] // div)
         div = 4
+    if _LADDER_516 and len(widths) >= 2 and (5 * r) // 16 >= _MIN_BUCKET:
+        # keep the list strictly decreasing: 5r/16 slots between r/2 and
+        # r/8 (see _LADDER_516; widths need not be powers of two — every
+        # branch is just a static front slice)
+        widths = sorted(set(widths) | {(5 * r) // 16}, reverse=True)
 
     state = {
         "origin": origin,
