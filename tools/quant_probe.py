@@ -28,8 +28,13 @@ true box, so the prefilter can only over-approve — exactness is free;
 the existing certificate is untouched because phase 2 re-tests exactly).
 
 Metrics per ray set:
-  cand       triangles resident in the ray's kp=4 nearest groups
-             (what tier-0 fetches exactly today)
+  cand       triangles resident in the ray's kp=4 globally-nearest groups
+             by slab entry over ALL groups — an OPTIMISTIC proxy for what
+             tier-0 fetches exactly today: production derives its kp
+             groups from the ksel=8 hierarchical candidate selection
+             (traverse_pallas.py), which can pick a different (never
+             better-ranked) set, so `cand` may under/over-state the real
+             fetch set slightly
   surv_f32   candidates whose EXACT tri-AABB entry <= t_hit (the
              irreducible survivor count with a perfect provisional t)
   surv_q8    same with the conservative int8 AABBs (adds quantization
@@ -152,8 +157,10 @@ def census(tag, groups, o, d, t_hit, hit_id, px, py):
     surv_q = np.zeros(n_rays, np.int32)
     miss_q = np.full(n_rays, -1, np.int32)
     hitrank = np.full(n_rays, -1, np.int32)
-    # per-ray global ids of q8 survivors, padded, for tile unions
-    surv_ids = np.full((n_rays, 64), -1, np.int64)
+    # per-ray global ids of q8 survivors, padded, for tile unions. Sized
+    # KP*64 (every candidate can survive) so union32 is known-exact; a
+    # 64-slot cap silently truncated whenever surv_q > 64 (ADVICE r4)
+    surv_ids = np.full((n_rays, KP * 64), -1, np.int64)
     for r0 in range(0, n_rays, 8192):
         oc, dc = o[r0:r0 + 8192], d[r0:r0 + 8192]
         th = t_hit[r0:r0 + 8192]
@@ -179,7 +186,7 @@ def census(tag, groups, o, d, t_hit, hit_id, px, py):
                 sq = eq <= th[i]
                 surv_f[r0 + i] = sf.sum()
                 surv_q[r0 + i] = sq.sum()
-                ids = tris[sq][:64]
+                ids = tris[sq]
                 surv_ids[r0 + i, :len(ids)] = ids
                 where = np.nonzero(tris == hid[i])[0]
                 if len(where):
@@ -189,6 +196,17 @@ def census(tag, groups, o, d, t_hit, hit_id, px, py):
     hit = np.isfinite(t_hit)
     ranked = hitrank[hit & (hitrank >= 0)]
     in_k4 = float((hitrank[hit] >= 0).mean()) if hit.any() else 0.0
+
+    def _p(arr, q):
+        """np.percentile guarded for empty arrays (degenerate ray sets on
+        arbitrary CLI models: no hits, or no hit tri inside cand)."""
+        return float(np.percentile(arr, q)) if len(arr) else float("nan")
+
+    def _mean(arr):
+        return float(arr.mean()) if len(arr) else float("nan")
+
+    def _max(arr):
+        return int(arr.max()) if len(arr) else -1
     # per-tile unions of q8 survivors
     tx, ty = px // TILE, py // TILE
     tid = ty * (px.max() // TILE + 1) + tx
@@ -198,17 +216,17 @@ def census(tag, groups, o, d, t_hit, hit_id, px, py):
         ids = ids[ids >= 0]
         unions.append(len(np.unique(ids)))
     unions = np.array(unions) if unions else np.zeros(1, np.int32)
-    p = np.percentile
+    hc, hs_f, hs_q = cand[hit], surv_f[hit], surv_q[hit]
     print(
         f"{tag:10s} rays={n_rays} hit={hit.mean():.3f} | "
-        f"cand mean={cand[hit].mean():6.1f} | "
-        f"surv f32 mean={surv_f[hit].mean():5.2f} p95={p(surv_f[hit], 95):3.0f} "
-        f"| surv q8 mean={surv_q[hit].mean():5.2f} p95={p(surv_q[hit], 95):3.0f} "
-        f"max={surv_q[hit].max():4d} | hit-in-k4={in_k4:.4f} "
-        f"hitrank p50={p(ranked, 50):2.0f} p95={p(ranked, 95):3.0f} "
-        f"max={ranked.max():4d} | "
-        f"missq8 mean={miss_q[miss_q >= 0].mean() if (miss_q >= 0).any() else 0:6.1f} | "
-        f"union32 mean={unions.mean():5.1f} p95={p(unions, 95):4.0f} "
+        f"cand mean={_mean(hc):6.1f} | "
+        f"surv f32 mean={_mean(hs_f):5.2f} p95={_p(hs_f, 95):3.0f} "
+        f"| surv q8 mean={_mean(hs_q):5.2f} p95={_p(hs_q, 95):3.0f} "
+        f"max={_max(hs_q):4d} | hit-in-k4={in_k4:.4f} "
+        f"hitrank p50={_p(ranked, 50):2.0f} p95={_p(ranked, 95):3.0f} "
+        f"max={_max(ranked):4d} | "
+        f"missq8 mean={_mean(miss_q[miss_q >= 0]):6.1f} | "
+        f"union32 mean={unions.mean():5.1f} p95={_p(unions, 95):4.0f} "
         f"max={unions.max():4d}",
         flush=True,
     )
