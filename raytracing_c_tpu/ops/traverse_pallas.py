@@ -176,18 +176,6 @@ def _extract(keys, n, payload=None):
     return (sel, keys, cat[0]) if single else (sel, keys, cat)
 
 
-#: level-selection mode for the ksel=8 tier-0 pass. "extract" = exact
-#: global top-8 via 8 sequential min-pops (the reference's nearest-first
-#: order, raytracer.c:459-474); "parent" = ONE min-pop per parent octet
-#: (best child per selected parent). Selection quality only moves the
-#: SUSPECT RATE — every dropped candidate still feeds the exactness
-#: certificate, so hits stay oracle-exact either way — while the pop
-#: chain was measured at 2.3 ms/256k of serial VPU time (ablation,
-#: docs/PERF.md r4 wave 2): parent mode does 1/8th of that work.
-#: Wide repair tiers (ksel=16) always keep the exact global extraction.
-#: Decided by full-bench A/B per the round-3 lesson.
-SELMODE = os.environ.get("RAYTPU_TIER0_SELMODE", "extract")
-
 #: tile-shared leaf/attr fetch. The per-lane one-hot fetch costs
 #: rows x G x R MACs, but the MXU pads its contraction dim to 128 — so
 #: on tables wider than 128 columns (helmet leaf: G=256) the same rows
@@ -211,51 +199,51 @@ SHARED = os.environ.get("RAYTPU_TIER0_SHARED", "1") == "1"
 #: shrink the refetch matmul, more would double it
 SHARED_U = 128
 
+#: tile-shared UNION Moller-Trumbore (the round-5 representation,
+#: VERDICT r4 #1). SHARED staging still paid three per-lane costs the
+#: MXU contraction floor cannot shrink: the kp refetch matmuls
+#: (contraction 128), the int8x4 word assembly of every refetched
+#: (576, R) plane set, and kp*64 MT tests per lane. stage_mt removes
+#: all three: the tile stages its lanes' selected-group UNION into a
+#: SMALL buffer of STAGE_MT_U slots, assembles it to f32 ONCE
+#: ((576, U) elements, not (576, R)), and every lane runs
+#: Moller-Trumbore directly against all U*64 staged triangles. The
+#: union census (tools/union_probe.py, production pixel order,
+#: 1024-ray kernel tiles at 1080p): helmet kp=4 unions mean 1.26 /
+#: p99 7 / max 10 (U=8 covers 99.8% of tiles, 0.085% lane-want
+#: overflow); tower max 5. Exactness is preserved by construction:
+#: a selected group that overflows the buffer feeds its EXACT entry
+#: distance to the certificate (repair tiers restore oracle equality),
+#: and every lane now tests a SUPERSET of its own kp selection, so
+#: unselected-but-staged groups are REMOVED from the certificate
+#: (in-union credit) — suspect rates can only drop vs SHARED.
+#: Reference analog: the per-ray nearest-first leaf recursion
+#: (raytracer.c:443-483) executed once per tile instead of per lane.
+STAGE_MT = os.environ.get("RAYTPU_TIER0_STAGEMT", "0") == "1"
 
-def _extract_per_parent(keys, payload):
-    """SELMODE "parent": pop the single smallest key of each parent's
-    8-child octet of a (W*n_par, R) key array — n_par pops of (W, R) work
-    instead of n_par pops of (W*n_par, R). Valid keys are globally unique
-    (id bits), so `== m` matches exactly one entry per octet. Returns
-    (sel (n_par, R), remaining-with-popped-masked, payloads (n_par, R))
-    with the same contract as _extract: `remaining != MAXI` masks the
-    unselected candidates whose exact distances feed the certificate."""
-    n_par = keys.shape[0] // W
-    sels, pays, rems = [], [], []
-    for p in range(n_par):
-        ks = keys[p * W : (p + 1) * W]
-        m = jnp.min(ks, axis=0, keepdims=True)
-        mask = ks == m
-        sels.append(m)
-        pays.append(
-            jnp.sum(
-                jnp.where(mask, payload[p * W : (p + 1) * W], 0),
-                axis=0, keepdims=True,
-            )
-        )
-        rems.append(jnp.where(mask, MAXI, ks))
-    return (
-        jnp.concatenate(sels, axis=0),
-        jnp.concatenate(rems, axis=0),
-        jnp.concatenate(pays, axis=0),
-    )
+#: union slots for stage_mt: every lane pays U*64 MT tests, so U is the
+#: knob that trades shared-MT cost against certificate overflow; 8 per
+#: the census above
+STAGE_MT_U = int(os.environ.get("RAYTPU_TIER0_STAGEMT_U", "8"))
 
 
-def _stage_union(tables, gcids, valid_rows, interp):
-    """Stage the tile's UNION of wanted columns into <=SHARED_U-slot
-    buffers (see SHARED). gcids/valid_rows: (k, R) compact column ids and
-    validity. Yields None at stage boundaries (generator protocol) and
-    finally (bufs, sel_g): bufs[i] = (P_i, U) s8 staged copy of tables[i]
-    restricted to the union; sel_g = (U, 1) i32 column id per slot (0 for
-    empty slots, whose buffer columns are all-zero — adding zeros in a
-    multi-hot refetch is exact).
+def _stage_union(tables, gcids, valid_rows, interp, u=None):
+    """Stage the tile's UNION of wanted columns into <=u-slot buffers
+    (see SHARED / STAGE_MT). gcids/valid_rows: (k, R) compact column ids
+    and validity. Returns (bufs, sel_g): bufs[i] = (P_i, U) s8 staged copy
+    of tables[i] restricted to the union; sel_g = (U, 1) i32 column id per
+    slot (0 for empty slots, whose buffer columns are all-zero — adding
+    zeros in a multi-hot refetch is exact).
 
     Per-lane consumption: ohs = (sel_g == gcids[k]) & valid_rows[k] is a
     (U, R) one-hot into the buffers; jnp.any(ohs, 0) tells whether the
     lane's column made the buffer (overflow lanes must fall back to the
-    exactness certificate)."""
+    exactness certificate). Third return `nsel` = (1, 1) i32 count of
+    union columns (slot s is filled iff s < nsel; overflow iff
+    nsel > u)."""
     g = tables[0].shape[1]
-    u = SHARED_U
+    if u is None:
+        u = SHARED_U
     kk = gcids.shape[0]
     r = gcids.shape[1]
     want = None
@@ -264,7 +252,6 @@ def _stage_union(tables, gcids, valid_rows, interp):
             & valid_rows[k : k + 1]
         want = wk if want is None else (want | wk)
     present = jnp.max(want.astype(jnp.int32), axis=1, keepdims=True)
-    yield
     # slot(g) = inclusive prefix count - 1; cumsum along sublanes is not
     # Mosaic-lowerable, so count via a lower-triangular s8 matmul (s32
     # accumulate is exact)
@@ -285,12 +272,11 @@ def _stage_union(tables, gcids, valid_rows, interp):
         preferred_element_type=jnp.float32 if interp else jnp.int32,
     ).astype(jnp.int32)
     sel_g = (selb[:, 0:1] & 0xFF) | (selb[:, 1:2] << 8)  # (u, 1)
-    yield
-    bufs = []
-    for t in tables:
-        bufs.append(_dot_i8(t, oh_sh, interp).astype(jnp.int8))
-        yield
-    return bufs, sel_g
+    bufs = [
+        _dot_i8(t, oh_sh, interp).astype(jnp.int8) for t in tables
+    ]
+    nsel = jnp.sum(present, axis=0, keepdims=True)  # (1, 1) union size
+    return bufs, sel_g, nsel
 
 
 def _slab48(rows, o, inv, tmax):
@@ -371,6 +357,22 @@ def _dot_i8(table, oh, interp):
     return out
 
 
+def _assemble_i8(buf):
+    """(4P, U) s8 byte-plane buffer -> (P, U) f32 by exact bit transport
+    (the word reassembly of _fetch_i8_oh without a matmul — used by the
+    stage_mt path, where the union buffer is assembled ONCE per tile
+    instead of once per refetched (P, R) lane plane set)."""
+    b = buf.astype(jnp.int32)
+    w = buf.shape[0] // 4
+    word = (
+        (b[:w] & 0xFF)
+        | ((b[w : 2 * w] & 0xFF) << 8)
+        | ((b[2 * w : 3 * w] & 0xFF) << 16)
+        | (b[3 * w :] << 24)
+    )
+    return jax.lax.bitcast_convert_type(word, jnp.float32)
+
+
 def _fetch_i8_oh(table, oh, interp):
     """int8x4 fetch core from an explicit (G, R) bool one-hot: 4-plane s8
     matmul + word reassembly -> exact stored f32 rows. oh may have MULTIPLE
@@ -444,76 +446,42 @@ def _split3_traced(x):
     return jnp.concatenate([hi, mid, lo], axis=0).astype(jnp.bfloat16)
 
 
-#: independent half-tiles interleaved inside one kernel invocation. The
-#: round-4 stage ablation (tools/ablate_probe.py) measured the kernel
-#: PERFECTLY SERIAL: one-hot fetch chain 5.7 ms + extraction pops 2.3 +
-#: Moller-Trumbore 1.2 + slab 0.7 sum to the full 9.8 ms/256k — Mosaic
-#: never overlaps the MXU dots with the VPU stages along one dependency
-#: chain. Splitting each ray tile into `halves` independent sub-tiles and
-#: emitting their stages round-robin (the generator protocol below) gives
-#: the scheduler adjacent MXU/VPU work from INDEPENDENT chains — and the
-#: on-chip A/B (r4, /tmp/halves_ab) measured it a NO-OP: halves=2/4 land
-#: within +-3% of halves=1 on both the tier-0 and fused passes (bit-exact
-#: outputs). Mosaic serializes the units regardless of available
-#: independent work, so the kernel's floor is MXU+VPU SUMMED; the
-#: machinery stays for future scheduling experiments (any `halves` is
-#: bit-identical: per-lane math is lane-local, reductions run along the
-#: candidate axis only). See docs/PERF.md round 4.
-HALVES = 1
-
-
-def _traverse_kernel(depth, ksel, kp, interp, fuse, halves, selmode, shared,
+def _traverse_kernel(depth, ksel, kp, interp, fuse, shared, smt,
                      rays_ref, root_ref, *refs):
     """The kernel body. refs = node level tables (levels 1..depth-1),
-    leaf super table, [gmap, attr when fuse], out_ref. ksel = candidates
-    kept per level; kp = leaf groups fetched; interp = interpret mode
-    (see _fetch_split); fuse = interpolate the winner's shading attributes
-    in-kernel (_interp_attrs) — one dispatch per bounce instead of two,
-    and the hit planes never round-trip HBM between them; halves =
-    independent sub-tiles interleaved for MXU/VPU overlap (see HALVES).
+    leaf super table, [gmap when fuse or smt], [attr when fuse], out_ref.
+    ksel = candidates kept per level; kp = leaf groups fetched; interp =
+    interpret mode (see _fetch_split); fuse = interpolate the winner's
+    shading attributes in-kernel (_interp_attrs) — one dispatch per
+    bounce instead of two, and the hit planes never round-trip HBM
+    between them; smt = tile-shared union Moller-Trumbore (STAGE_MT).
 
-    The traversal itself lives in the _traverse_stages generator; this
-    wrapper drives `halves` instances round-robin (stage boundaries are
-    its `yield`s) and concatenates their output rows lane-wise."""
+    (Round-4 scheduling experiments removed in r5: the `halves`
+    round-robin sub-tile driver measured a NO-OP — Mosaic serializes
+    MXU/VPU regardless of independent work — and the per-parent SELMODE
+    is unusable in production, suspect rate 9%->69%. docs/PERF.md round 4
+    keeps the writeups.)"""
     node_refs = refs[: depth - 1]
     leaf_ref = refs[depth - 1]
+    i = depth
+    gmap_ref = attr_ref = None
+    if fuse or smt:
+        gmap_ref = refs[i]
+        i += 1
     if fuse:
-        gmap_ref, attr_ref = refs[depth], refs[depth + 1]
-        out_ref = refs[depth + 2]
-    else:
-        gmap_ref = attr_ref = None
-        out_ref = refs[depth]
+        attr_ref = refs[i]
+        i += 1
+    out_ref = refs[i]
 
-    r = rays_ref.shape[1]
-    h = max(1, min(halves, r // 128))  # never narrow a sub-tile below 128
-    while r % h:
-        h -= 1
-    w = r // h
-    gens = [
-        _traverse_stages(
-            depth, ksel, kp, interp, fuse, selmode, shared,
-            rays_ref[:, i * w : (i + 1) * w], root_ref, node_refs,
-            leaf_ref, gmap_ref, attr_ref,
-        )
-        for i in range(h)
-    ]
-    outs = [None] * h
-    live = list(range(h))
-    while live:
-        for i in list(live):
-            try:
-                next(gens[i])
-            except StopIteration as stop:
-                outs[i] = stop.value
-                live.remove(i)
-    out_ref[:] = jnp.concatenate(outs, axis=1) if h > 1 else outs[0]
+    out_ref[:] = _traverse_stages(
+        depth, ksel, kp, interp, fuse, shared, smt, rays_ref[:, :],
+        root_ref, node_refs, leaf_ref, gmap_ref, attr_ref,
+    )
 
 
-def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
+def _traverse_stages(depth, ksel, kp, interp, fuse, shared, smt, rays,
                      root_ref, node_refs, leaf_ref, gmap_ref, attr_ref):
-    """One sub-tile's traversal as a generator: `yield` marks a stage
-    boundary where the round-robin driver switches to the other sub-tile
-    (MXU fetches of one interleave with VPU slab/extract of the other).
+    """The level-synchronous traversal body over one ray tile.
     Returns the (8 or 24, r) output rows."""
     r = rays.shape[1]
     o = Vec3(rays[0:1, :], rays[1:2, :], rays[2:3, :])
@@ -529,7 +497,6 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
     cand_cid = jnp.broadcast_to(
         root_rows[48:56].astype(jnp.int32), (W, r)
     )
-    yield
 
     dropped = jnp.full((1, r), INF)
 
@@ -563,7 +530,6 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
             cand_d = jnp.concatenate(new_d, axis=0)
             cand_id = jnp.concatenate(new_id, axis=0)
             cand_cid = jnp.concatenate(new_cid, axis=0)
-            yield
             continue
 
         n = min(ksel, cand_d.shape[0])
@@ -572,7 +538,7 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
         # through the same union buffer as the leaf phase (helmet's
         # level-3 table is 256 wide: 8 fetches/lane at half the MACs)
         stage_nodes = (
-            shared and ksel <= W and selmode == "extract"
+            shared and ksel <= W
             and node_refs[li].dtype == jnp.int8
             and node_refs[li].shape[1] > SHARED_U
         )
@@ -581,13 +547,8 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
             sel, rem, (sel_cid, sel_dist) = _extract(
                 keys, n, payload=(cand_cid, cand_d)
             )
-        elif selmode == "parent" and n == W and cand_d.shape[0] == W * W:
-            # tier-0 only (ksel=8 over exactly 8 parent octets); the wide
-            # ksel=16 repair tiers keep the exact global top-k
-            sel, rem, sel_cid = _extract_per_parent(keys, cand_cid)
         else:
             sel, rem, sel_cid = _extract(keys, n, payload=cand_cid)
-        yield
         # certificate from the EXACT f32 distances of the unselected
         # candidates (decoding the rounded keys instead costs ~0.01%
         # round-down, which near-ties on surface meshes trip constantly)
@@ -603,7 +564,7 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
 
         node_buf = node_selg = None
         if stage_nodes:
-            (node_buf,), node_selg = yield from _stage_union(
+            (node_buf,), node_selg, _ = _stage_union(
                 [node_refs[li]], sel_cid, sel_valid, interp
             )
 
@@ -626,7 +587,6 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
                 rows = _fetch_split(
                     node_refs[li], sel_cid[k : k + 1], interp
                 )  # (NROWS, R)
-            yield
             d8 = _slab48(rows, o, inv, tmax)  # (8, R)
             new_d.append(jnp.where(valid_k, d8, INF))
             new_id.append(sel_ids[k : k + 1] * W + _iota((W, 1), 0))
@@ -638,7 +598,6 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
                 )
             else:
                 new_cid.append(rows[48:56].astype(jnp.int32))
-            yield
         cand_d = jnp.concatenate(new_d, axis=0)  # (8*ksel, R)
         cand_id = jnp.concatenate(new_id, axis=0)
         cand_cid = jnp.concatenate(new_cid, axis=0)
@@ -684,14 +643,21 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
             [cand_cid[p * W : p * W + 1] for p in range(n_par)], axis=0
         )
         gkeys = _pack(gmin_d, pgrel)
+        # stage_mt (union MT, see STAGE_MT) needs int8x4 tables, the
+        # canonical-id map (gmap row 1), and a narrow pass — the wide
+        # (ksel>8) repair unions blow the small slot buffer constantly
+        use_stage_mt = (
+            smt and ksel <= W and leaf_ref.dtype == jnp.int8
+            and gmap_ref is not None
+        )
         # shared-buffer staging wins only when the leaf table is wider
         # than the 128-lane MXU contraction floor, on int8x4 tables, and
         # never for the wide (ksel>8) repair passes whose unions blow up
-        use_shared = (
+        use_shared = not use_stage_mt and (
             shared and ksel <= W and leaf_ref.dtype == jnp.int8
             and leaf_ref.shape[1] > SHARED_U
         )
-        if use_shared:
+        if use_shared or use_stage_mt:
             sel, grem, (gcids, gdist) = _extract(
                 gkeys, min(kp, n_par), payload=(pgcid, gmin_d)
             )
@@ -699,22 +665,95 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
             sel, grem, gcids = _extract(
                 gkeys, min(kp, n_par), payload=pgcid
             )
-        yield
 
-        dropped = jnp.minimum(
-            dropped,
-            jnp.min(
-                jnp.where(grem != MAXI, gmin_d, INF),
-                axis=0, keepdims=True,
-            ),
-        )
+        if not use_stage_mt:
+            dropped = jnp.minimum(
+                dropped,
+                jnp.min(
+                    jnp.where(grem != MAXI, gmin_d, INF),
+                    axis=0, keepdims=True,
+                ),
+            )
 
         groups = []
-        if use_shared:
+        if use_stage_mt:
+            u_mt = STAGE_MT_U
             kk = sel.shape[0]
             valid_rows = sel < BIG_BITS  # (kk, R)
             tabs = [leaf_ref] + ([attr_ref] if fuse else [])
-            bufs, sel_g = yield from _stage_union(
+            bufs, sel_g, nsel = _stage_union(
+                tabs, gcids, valid_rows, interp, u=u_mt
+            )
+            # the whole union assembles to f32 ONCE — (576, U) elements,
+            # vs the per-lane path's (576, R) words per refetched group
+            leaf_f = _assemble_i8(bufs[0])  # (576, u_mt) f32
+            attr_buf = bufs[1] if fuse else None
+            shared_ctx = (sel_g, attr_buf)
+            slot_live = _iota((u_mt, 1), 0) < nsel  # (u_mt, 1)
+
+            # a selected group that overflowed the slot buffer joins the
+            # certificate with its EXACT entry distance (repair restores
+            # oracle equality — same contract as SHARED overflow)
+            for k in range(kk):
+                in_buf = jnp.any(
+                    (sel_g == gcids[k : k + 1]) & slot_live,
+                    axis=0, keepdims=True,
+                )
+                dropped = jnp.minimum(
+                    dropped,
+                    jnp.where(
+                        valid_rows[k : k + 1] & ~in_buf,
+                        gdist[k : k + 1], INF,
+                    ),
+                )
+            # in-union credit: every staged group is FULLY tested for
+            # every lane below, so an unselected parent that made the
+            # buffer leaves this lane's certificate — it cannot hide a
+            # missed hit. Suspect rates only drop vs the per-lane path.
+            unc = []
+            for p in range(n_par):
+                cov = jnp.any(
+                    (sel_g == pgcid[p : p + 1]) & slot_live,
+                    axis=0, keepdims=True,
+                )
+                unc.append(
+                    jnp.where(
+                        (grem[p : p + 1] != MAXI) & ~cov,
+                        gmin_d[p : p + 1], INF,
+                    )
+                )
+            dropped = jnp.minimum(
+                dropped,
+                jnp.min(jnp.concatenate(unc, axis=0), axis=0,
+                        keepdims=True),
+            )
+
+            # canonical rel id per slot: gmap row 1 maps canonical group
+            # -> compact column (or -1 for empty canonical slots, and in
+            # the padding), so the slot's canonical id is the (unique
+            # nonempty) minimum canonical index mapping to its column.
+            # Static f32 row reads — no matmul, no precision caveat.
+            g_can = gmap_ref.shape[1]
+            match = gmap_ref[1:2, :] == sel_g.astype(jnp.float32)
+            slot_grel = jnp.min(
+                jnp.where(match, _iota((u_mt, g_can), 1), MAXI),
+                axis=1, keepdims=True,
+            )  # (u_mt, 1)
+
+            # every lane tests every staged slot: (f, grel, gval, gcid)
+            # broadcast through the unchanged MT/winner loops below
+            for s in range(u_mt):
+                groups.append((
+                    leaf_f[:, s : s + 1],
+                    slot_grel[s : s + 1],
+                    slot_live[s : s + 1] & act,
+                    sel_g[s : s + 1],
+                ))
+        elif use_shared:
+            kk = sel.shape[0]
+            valid_rows = sel < BIG_BITS  # (kk, R)
+            tabs = [leaf_ref] + ([attr_ref] if fuse else [])
+            bufs, sel_g, _ = _stage_union(
                 tabs, gcids, valid_rows, interp
             )
             leaf_buf = bufs[0]
@@ -741,7 +780,6 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
                     ),
                 )
                 groups.append((f, grel, has, gcid))
-                yield
         else:
             for k in range(sel.shape[0]):
                 row = sel[k : k + 1]
@@ -750,7 +788,6 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
                 gcid = gcids[k : k + 1]
                 f = _fetch_split(leaf_ref, gcid, interp)  # (576, R)
                 groups.append((f, grel, has, gcid))
-                yield
 
     # --- Moller-Trumbore over each selected group's 64 triangles -----------
     best_t = jnp.full((1, r), INF)
@@ -782,7 +819,6 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
         best_v = jnp.where(better, v_sel, best_v)
         best_tri = jnp.where(better, tri_min, best_tri)
         best_t = jnp.where(better, tmin, best_t)
-        yield
 
     hit_rows = jnp.concatenate(
         [
@@ -804,7 +840,6 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
         win_cid = jnp.zeros_like(wg)
         for _f, grel, has, gcid in groups:
             win_cid = jnp.where((grel == wg) & has, gcid, win_cid)
-        yield
         cols = None
         if shared_ctx is not None:
             # the winner's group is one of the just-staged buffer slots
@@ -815,7 +850,6 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, selmode, shared, rays,
             sel_g, attr_buf = shared_ctx
             oh_win = sel_g == win_cid
             cols = _fetch_i8_oh(attr_buf, oh_win, interp)
-            yield
         attrs = _interp_attrs(
             depth, interp, gmap_ref, attr_ref,
             jnp.maximum(best_tri, 0), best_u, best_v, cid=win_cid,
@@ -904,8 +938,18 @@ def build_tables_host(nodes, leaf_rows, depth, attr_rows=None) -> PallasTables:
         attr_t[:, : len(lidx)] = aarr[:, lidx]
         g_can = W ** (depth - 1)
         gm = np.zeros((8, _round_up(g_can)), np.float32)
+        # row 1: compact column for NONEMPTY canonical groups, else -1
+        # (incl. the padding) — the stage_mt slot->canonical inverse
+        # (slot_grel) needs emptiness, which row 0's 0-default conflates
+        # with the real compact column 0
+        gm[1, :] = -1.0
         if depth > 1:
             gm[0, :g_can] = cmap[depth - 1]
+            ne = np.zeros(g_can, bool)
+            ne[keep[depth - 1]] = True
+            gm[1, :g_can] = np.where(ne, cmap[depth - 1], -1.0)
+        else:
+            gm[1, 0] = 0.0
         attr = jnp.asarray(_split3(attr_t))  # always one-hot fetched
         gmap = jnp.asarray(gm)
 
@@ -1082,24 +1126,25 @@ def intersect_bvh_pallas(
     origin: Vec3, direction: Vec3, triangles, bvh, active=None, kp: int = 2,
     ksel: int = 8, t_max=None, tables: PallasTables | None = None,
     interpret: bool | None = None, tile: int | None = None,
-    fuse_attr: bool = False, halves: int | None = None,
-    selmode: str | None = None, shared: bool | None = None,
+    fuse_attr: bool = False, shared: bool | None = None,
+    stage_mt: bool | None = None,
 ):
     """Single-pass fused traversal (Pallas). Returns dict(t, tri, u, v,
     dropped_min) with the same semantics/certificate as
     intersect_bvh_topk(with_bound=True).
+
+    stage_mt: tile-shared union Moller-Trumbore (None -> module default
+    STAGE_MT, env RAYTPU_TIER0_STAGEMT; see the STAGE_MT comment).
+    Requires host-built tables (gmap); silently off otherwise. Hits may
+    DIFFER from the per-lane path only on lanes the certificate flags
+    (strictly larger per-lane coverage) — the verified wrapper's output
+    stays oracle-bit-exact either way.
 
     tables: precomputed compacted PallasTables (Scene.ptables); falls back
     to an uncompacted traced build when absent.
     t_max: optional (R,) per-ray pruning bound: subtrees entered at or
     beyond it are skipped AND excluded from the certificate (only hits
     strictly closer than t_max can be found/certified).
-    halves: independent interleaved sub-tiles (None -> module default
-    HALVES); any value is bit-exact, it only changes scheduling.
-    selmode: tier-0 level-selection mode (None -> module default SELMODE,
-    env RAYTPU_TIER0_SELMODE). "parent" trades exact global top-8 ranking
-    for one min-pop per parent octet — certified hits stay oracle-exact,
-    only the suspect rate moves (see SELMODE).
     fuse_attr: also interpolate the winner's 25 shading attributes
     in-kernel (requires host-built tables with attr/gmap); adds an
     "attrs" entry — the (16, R) _interp_attrs planes — to the result.
@@ -1133,23 +1178,24 @@ def intersect_bvh_pallas(
     )
     rays = jnp.pad(rays, ((0, 0), (0, r_pad - r)))
 
+    if shared is None:
+        shared = SHARED
+    if stage_mt is None:
+        stage_mt = STAGE_MT
+    smt = bool(stage_mt) and tables.gmap is not None
     tbls = [tables.root, *tables.levels, tables.leaf]
+    if fuse or smt:
+        tbls += [tables.gmap]
     if fuse:
-        tbls += [tables.gmap, tables.attr]
+        tbls += [tables.attr]
     out_rows = 24 if fuse else 8
     full = lambda t: pl.BlockSpec(  # noqa: E731
         t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
-    if halves is None:
-        halves = HALVES
-    if selmode is None:
-        selmode = SELMODE
-    if shared is None:
-        shared = SHARED
     out = pl.pallas_call(
         functools.partial(
-            _traverse_kernel, depth, ksel, kp, interpret, fuse, halves,
-            selmode, shared,
+            _traverse_kernel, depth, ksel, kp, interpret, fuse, shared,
+            smt,
         ),
         grid=(r_pad // tile,),
         in_specs=[
@@ -1181,7 +1227,7 @@ def intersect_bvh_pallas_forest(
     origin: Vec3, direction: Vec3, forest: ForestTables, active=None,
     kp: int = 2, ksel: int = 8, t_max=None, interpret: bool | None = None,
     tile: int | None = None, fuse_attr: bool = False,
-    selmode: str | None = None, shared: bool | None = None,
+    shared: bool | None = None, stage_mt: bool | None = None,
 ):
     """Run the fused kernel once per subtree, threading the running best
     hit in as each call's per-ray t_max bound. fuse_attr: each subtree
@@ -1209,7 +1255,7 @@ def intersect_bvh_pallas_forest(
         hit = intersect_bvh_pallas(
             origin, direction, None, None, active, kp=kp, ksel=ksel,
             t_max=bound, tables=st, interpret=interpret, tile=tile,
-            fuse_attr=fuse_attr, selmode=selmode, shared=shared,
+            fuse_attr=fuse_attr, shared=shared, stage_mt=stage_mt,
         )
         hit["tri"] = jnp.where(hit["tri"] >= 0, hit["tri"] + base, -1)
         if best is None:

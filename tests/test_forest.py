@@ -190,3 +190,21 @@ def test_forest_fused_attrs_match_xla_gather(rng):
             np.testing.assert_allclose(
                 np.asarray(ga)[m], np.asarray(wa)[m], rtol=1e-5, atol=1e-6
             )
+
+
+def test_forest_stage_mt_verified_exact(rng, monkeypatch):
+    """Union-MT tier-0 (traverse_pallas.STAGE_MT) through the forest
+    chain: per-subtree slot staging + t_max threading must still land the
+    verified wrapper on the brute-force oracle."""
+    monkeypatch.setattr(tp, "STAGE_MT", True)
+    mesh = random_mesh(9000, rng)
+    scene = simple_scene(mesh)
+    forest = _forest_of(scene)
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    brute = intersect.intersect_bruteforce(o, d, scene.triangles)
+    ver = traverse.intersect_bvh_pallas_verified(
+        o, d, scene.triangles, scene.bvh, tables=forest, fuse_attr=True,
+    )
+    _assert_exact_up_to_conditioning(ver["t"], brute["t"])

@@ -394,30 +394,6 @@ def test_certificate_sound_at_kp1(rng):
     _assert_exact_up_to_conditioning(ver["t"], brute["t"])
 
 
-def test_halves_bit_identical(rng):
-    """The stage-generator driver (traverse_pallas.HALVES) is a pure
-    scheduling knob: any sub-tile split must produce BIT-identical
-    results (all kernel reductions run along the candidate axis, never
-    across lanes). Guards the round-4 generator restructure."""
-    mesh = random_mesh(900, rng)
-    scene = simple_scene(mesh)
-    origin, direction = random_rays(512, rng)
-    o, d = vec3_of(origin), vec3_of(direction)
-
-    outs = []
-    for halves in (1, 2, 4):
-        hit = tp.intersect_bvh_pallas(
-            o, d, scene.triangles, scene.bvh, kp=4, ksel=8,
-            tables=scene.ptables, fuse_attr=True, halves=halves,
-        )
-        outs.append(hit)
-    for hit in outs[1:]:
-        for k in ("t", "u", "v", "tri", "dropped_min", "attrs"):
-            np.testing.assert_array_equal(
-                np.asarray(outs[0][k]), np.asarray(hit[k]), err_msg=k
-            )
-
-
 def test_shared_fetch_matches_direct(rng):
     """Tile-shared leaf/attr staging (traverse_pallas.SHARED): on a table
     wider than the 128-slot buffer, shared and direct tier-0 must agree
@@ -492,3 +468,129 @@ def test_shared_fetch_overflow_verified_exact(rng, monkeypatch):
         o, d, scene.triangles, scene.bvh, tables=scene.ptables,
     )
     _assert_exact_up_to_conditioning(ver["t"], brute["t"])
+
+
+def test_stage_mt_certificate_sound(rng):
+    """Union-MT tier-0 (traverse_pallas.STAGE_MT): every lane whose hit
+    deviates from the oracle beyond the f32 conditioning class must carry
+    the certificate — slot-overflow lanes via the exact entry distances
+    of their unstaged groups (a 768-random-ray 'tile' overflows the
+    8-slot buffer constantly, so this stresses exactly that path)."""
+    mesh = random_mesh(9000, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(768, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    brute = intersect.intersect_bruteforce(o, d, scene.triangles)
+    pal = tp.intersect_bvh_pallas(
+        o, d, scene.triangles, scene.bvh, kp=4, tables=scene.ptables,
+        stage_mt=True, fuse_attr=True,
+    )
+    got, want = _finite(np.asarray(pal["t"])), _finite(np.asarray(brute["t"]))
+    tight = np.isclose(got, want, **TIGHT)
+    loose = np.isclose(got, want, **LOOSE)
+    suspect = np.asarray(pal["dropped_min"]) < np.asarray(pal["t"])
+    assert suspect.any()  # the overflow stress actually engaged
+    assert not (~tight & ~suspect & ~loose).any(), "uncertified divergence"
+
+
+def test_stage_mt_verified_oracle_exact(rng, monkeypatch):
+    """The verified wrapper with the union-MT tier-0 must land on the
+    brute-force oracle (up to conditioning), exactly like the per-lane
+    tier-0 — the certificate + repair tiers absorb every slot overflow."""
+    monkeypatch.setattr(tp, "STAGE_MT", True)
+    mesh = random_mesh(9000, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    brute = intersect.intersect_bruteforce(o, d, scene.triangles)
+    ver = traverse.intersect_bvh_pallas_verified(
+        o, d, scene.triangles, scene.bvh, tables=scene.ptables,
+        fuse_attr=True,
+    )
+    _assert_exact_up_to_conditioning(ver["t"], brute["t"])
+
+
+def test_stage_mt_overflow_stress_verified(rng, monkeypatch):
+    """Slot budget crushed to 2: almost every tile union overflows, the
+    certificate must flag the victims, and the verified wrapper must
+    still land on the oracle."""
+    monkeypatch.setattr(tp, "STAGE_MT", True)
+    monkeypatch.setattr(tp, "STAGE_MT_U", 2)
+    mesh = random_mesh(5000, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    brute = intersect.intersect_bruteforce(o, d, scene.triangles)
+    pal = tp.intersect_bvh_pallas(
+        o, d, scene.triangles, scene.bvh, kp=4, tables=scene.ptables,
+        stage_mt=True,
+    )
+    suspect = np.asarray(pal["dropped_min"]) < np.asarray(pal["t"])
+    assert suspect.any()
+    ver = traverse.intersect_bvh_pallas_verified(
+        o, d, scene.triangles, scene.bvh, tables=scene.ptables,
+    )
+    _assert_exact_up_to_conditioning(ver["t"], brute["t"])
+
+
+def test_stage_mt_extra_coverage_certified_or_oracle(rng):
+    """Union-MT tests a SUPERSET of each lane's kp selection, so its
+    tier-0 may legitimately find hits the per-lane pass missed — every
+    such extra hit must be a genuine oracle hit (same tri, conditioning-
+    tight t) or the lane must be certified."""
+    mesh = random_mesh(3000, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    brute = intersect.intersect_bruteforce(o, d, scene.triangles)
+    a = tp.intersect_bvh_pallas(
+        o, d, scene.triangles, scene.bvh, kp=4, tables=scene.ptables,
+        stage_mt=False,
+    )
+    b = tp.intersect_bvh_pallas(
+        o, d, scene.triangles, scene.bvh, kp=4, tables=scene.ptables,
+        stage_mt=True,
+    )
+    improved = np.asarray(b["t"]) < np.asarray(a["t"])
+    if improved.any():
+        got = _finite(np.asarray(b["t"]))[improved]
+        want = _finite(np.asarray(brute["t"]))[improved]
+        sus = (np.asarray(b["dropped_min"]) < np.asarray(b["t"]))[improved]
+        ok = np.isclose(got, want, **TIGHT) | np.isclose(got, want, **LOOSE)
+        assert (ok | sus).all()
+
+
+def test_stage_mt_attrs_selfconsistent(rng):
+    """Fused union-MT attrs must equal a standalone fetch_attrs of the
+    SAME winners bit-for-bit (both are exact transport + identical
+    interpolation math on identical (tri, u, v) inputs) — this pins the
+    slot->canonical id inverse (gmap row 1) and the winner-slot attr
+    refetch."""
+    mesh = random_mesh(9000, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(768, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    b = tp.intersect_bvh_pallas(
+        o, d, scene.triangles, scene.bvh, kp=4, tables=scene.ptables,
+        stage_mt=True, fuse_attr=True,
+    )
+    hit = np.asarray(b["tri"]) >= 0
+    assert hit.any()
+    ref = tp.fetch_attrs(scene.ptables, b["tri"], b["u"], b["v"])
+    got = tp.attrs_to_dict(b["attrs"])
+    for k in ("normal", "ng", "tangent", "bitangent"):
+        for c in "xyz":
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got[k], c))[hit],
+                np.asarray(getattr(ref[k], c))[hit],
+                err_msg=f"{k}.{c}",
+            )
+    for k in ("uv_u", "uv_v", "mat_id"):
+        np.testing.assert_array_equal(
+            np.asarray(got[k])[hit], np.asarray(ref[k])[hit], err_msg=k
+        )
