@@ -512,7 +512,7 @@ TIER0_KSEL = int(os.environ.get("RAYTPU_TIER0_KSEL", "8"))
 def intersect_bvh_pallas_verified(
     origin: Vec3, direction: Vec3, triangles, bvh, active=None,
     kp: int | None = None, max_suspects: int | None = None, tables=None,
-    fuse_attr: bool = False,
+    fuse_attr: bool = False, tile_wavefront: bool | None = None,
 ):
     """Exact traversal with the fused Pallas kernel as the fast path.
 
@@ -539,14 +539,19 @@ def intersect_bvh_pallas_verified(
     """
     from raytracing_c_tpu.ops import traverse_pallas as tp
 
+    # tile_wavefront applies to TIER 0 only (None defers to the module
+    # default tp.TW): the wider repair passes are the per-lane exactness
+    # backstop for the tile-global truncations — a TW wide pass would
+    # re-run the very selection it is repairing
     if isinstance(tables, tp.ForestTables):
-        def tier0(o, d, act, kp_, ksel_, fuse=False):
+        def tier0(o, d, act, kp_, ksel_, fuse=False, tw=False):
             return tp.intersect_bvh_pallas_forest(
                 o, d, tables, act, kp=kp_, ksel=ksel_,
                 tile=256 if ksel_ > 8 else None, fuse_attr=fuse,
+                tile_wavefront=tw,
             )
     else:
-        def tier0(o, d, act, kp_, ksel_, fuse=False):
+        def tier0(o, d, act, kp_, ksel_, fuse=False, tw=False):
             # wide (ksel=16/kp=16) passes run a smaller ray tile: their
             # per-tile scratch (16 exact leaf fetches + 16-wide candidate
             # buffers) overflowed the 16 MB scoped-VMEM limit at
@@ -556,12 +561,13 @@ def intersect_bvh_pallas_verified(
             return tp.intersect_bvh_pallas(
                 o, d, triangles, bvh, act, kp=kp_, ksel=ksel_,
                 tables=tables, tile=256 if ksel_ > 8 else None,
-                fuse_attr=fuse,
+                fuse_attr=fuse, tile_wavefront=tw,
             )
 
     if kp is None:
         kp = TIER0_KP
-    hit = tier0(origin, direction, active, kp, TIER0_KSEL, fuse_attr)
+    hit = tier0(origin, direction, active, kp, TIER0_KSEL, fuse_attr,
+                tw=tile_wavefront)
     attrs = hit.pop("attrs", None)  # tier-0 winners' attrs (fused path)
     t0_t, t0_tri = hit["t"], hit["tri"]
     t0_u, t0_v = hit["u"], hit["v"]
@@ -614,7 +620,7 @@ def intersect_bvh_pallas_verified(
 def intersect_scene(
     scene, origin: Vec3, direction: Vec3, active=None, method: str = "topk",
     k: int = 8, k_leaf: int = 8, k_pallas: int | None = None,
-    fuse_attr: bool = False,
+    fuse_attr: bool = False, tw: bool = False,
 ):
     """ray_scene_hit (raytracer.c:497-503) + the sphere pass: nearest hit
     among BVH triangles and analytic spheres.
@@ -641,7 +647,7 @@ def intersect_scene(
         hit = intersect_bvh_pallas_verified(
             origin, direction, scene.triangles, scene.bvh, active,
             tables=getattr(scene, "ptables", None), fuse_attr=fuse_attr,
-            **kw,
+            tile_wavefront=tw, **kw,
         )
     elif method == "pallas_fast":
         from raytracing_c_tpu.ops import traverse_pallas as tp

@@ -226,6 +226,39 @@ STAGE_MT = os.environ.get("RAYTPU_TIER0_STAGEMT", "0") == "1"
 #: the census above
 STAGE_MT_U = int(os.environ.get("RAYTPU_TIER0_STAGEMT_U", "8"))
 
+#: TILE-WAVEFRONT traversal (the round-5 representation, successor to
+#: stage_mt per its measured marginals — docs/PERF.md r5 wave 1). The
+#: per-lane path's cost is ~7.4 ms FIXED selection machinery + 1.0
+#: ms/group (kp sweep); stage_mt only attacked the marginal. TW
+#: amortizes the SELECTION itself per kernel tile: the tree is
+#: descended once per tile — every level slabs ALL staged candidates
+#: per lane (exactness needs the per-lane entry distances anyway),
+#: ranks candidates by the tile-global (lane-min over active lanes)
+#: entry key at width 1, stages the top-U node columns with ONE tiny
+#: (U, G) one-hot matmul, and the leaf level runs MT per staged union
+#: slot. Gone from the per-lane bill: the extraction pop chain, every
+#: (G, R) one-hot build, every fetch matmul at R width, and the
+#: (576, R) int8x4 word assemblies. Exactness is by construction:
+#: candidates the tile ranks out contribute their per-lane EXACT f32
+#: entry distances to the certificate (we slabbed them for every
+#: lane), staged-but-farther groups are fully tested for every lane
+#: (in-union credit), and the verified repair tiers restore oracle
+#: equality for the rare lane whose private nearest candidate lost
+#: the tile vote (camera tiles: unions mean 1.26 / p99 7,
+#: tools/union_probe.py). Coherent (bounce-0) batches only — the
+#: strip-layout probe measured 31.8% suspects on bounce-1 rays
+#: (tools/stagemt_ab2.py); bounce rays stay per-lane.
+#: Reference analog: ray_bvh_node_hit's nearest-first recursion
+#: (raytracer.c:443-483) run once per 1024-ray tile.
+TW = os.environ.get("RAYTPU_TIER0_TW", "0") == "1"
+
+#: staged node slots per internal level (tile-global budget; the
+#: per-lane path keeps ksel=8 PER LANE, TW keeps TW_U per TILE)
+TW_U = int(os.environ.get("RAYTPU_TIER0_TW_U", "8"))
+
+#: staged leaf-group slots: every lane pays TW_UL*64 MT tests
+TW_UL = int(os.environ.get("RAYTPU_TIER0_TW_UL", "8"))
+
 
 def _stage_union(tables, gcids, valid_rows, interp, u=None):
     """Stage the tile's UNION of wanted columns into <=u-slot buffers
@@ -389,6 +422,43 @@ def _fetch_i8_oh(table, oh, interp):
     return jax.lax.bitcast_convert_type(word, jnp.float32)
 
 
+def _dot_i8_nt(table, oh_ug, interp):
+    """int8-plane one-hot matmul contracting the table's COLUMN axis:
+    (P, G) s8 x (U, G) bool -> (P, U) s32 (out[p, u] = the stored byte of
+    column sel[u] — exact, same argument as _dot_i8). The (U, G) one-hot
+    orientation avoids ever transposing slot metadata into lanes: it is
+    built directly from (U, 1) sublane-resident column ids via
+    iota((U, G), 1) == ids."""
+    if interp:
+        out = jax.lax.dot_general(
+            table[:].astype(jnp.float32), oh_ug.astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+    else:
+        out = jax.lax.dot_general(
+            table[:], oh_ug.astype(jnp.int8), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    return out
+
+
+def _fetch_i8_cols(table, oh_ug, interp):
+    """Fetch whole int8x4 table COLUMNS into a small f32 buffer via a
+    (U, G) one-hot: _dot_i8_nt + the word reassembly of _fetch_i8_oh ->
+    (P, U) exact stored f32. Dead one-hot rows yield all-zero columns
+    (consumers mask by slot liveness)."""
+    w = table.shape[0] // 4
+    out = _dot_i8_nt(table, oh_ug, interp)
+    word = (
+        (out[:w] & 0xFF)
+        | ((out[w : 2 * w] & 0xFF) << 8)
+        | ((out[2 * w : 3 * w] & 0xFF) << 16)
+        | (out[3 * w :] << 24)
+    )
+    return jax.lax.bitcast_convert_type(word, jnp.float32)
+
+
 def _split3(x: np.ndarray) -> np.ndarray:
     """Split an f32 table into its exact split representation (SPLIT_MODE),
     stacked along rows: (R, C) f32 -> (3R, C) bf16 or (4R, C) int8 with
@@ -446,7 +516,7 @@ def _split3_traced(x):
     return jnp.concatenate([hi, mid, lo], axis=0).astype(jnp.bfloat16)
 
 
-def _traverse_kernel(depth, ksel, kp, interp, fuse, shared, smt,
+def _traverse_kernel(depth, ksel, kp, interp, fuse, shared, smt, tw,
                      rays_ref, root_ref, *refs):
     """The kernel body. refs = node level tables (levels 1..depth-1),
     leaf super table, [gmap when fuse or smt], [attr when fuse], out_ref.
@@ -473,10 +543,16 @@ def _traverse_kernel(depth, ksel, kp, interp, fuse, shared, smt,
         i += 1
     out_ref = refs[i]
 
-    out_ref[:] = _traverse_stages(
-        depth, ksel, kp, interp, fuse, shared, smt, rays_ref[:, :],
-        root_ref, node_refs, leaf_ref, gmap_ref, attr_ref,
-    )
+    if tw:
+        out_ref[:] = _traverse_stages_tw(
+            depth, TW_U, TW_UL, interp, fuse, rays_ref[:, :],
+            root_ref, node_refs, leaf_ref, gmap_ref, attr_ref,
+        )
+    else:
+        out_ref[:] = _traverse_stages(
+            depth, ksel, kp, interp, fuse, shared, smt, rays_ref[:, :],
+            root_ref, node_refs, leaf_ref, gmap_ref, attr_ref,
+        )
 
 
 def _traverse_stages(depth, ksel, kp, interp, fuse, shared, smt, rays,
@@ -789,7 +865,17 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, shared, smt, rays,
                 f = _fetch_split(leaf_ref, gcid, interp)  # (576, R)
                 groups.append((f, grel, has, gcid))
 
-    # --- Moller-Trumbore over each selected group's 64 triangles -----------
+    return _mt_tail(depth, interp, fuse, o, d, r, groups, dropped,
+                    shared_ctx, gmap_ref, attr_ref)
+
+
+def _mt_tail(depth, interp, fuse, o, d, r, groups, dropped, shared_ctx,
+             gmap_ref, attr_ref):
+    """Shared Moller-Trumbore + winner-select + fused-attr tail. `groups`
+    entries are (f, grel, gval, gcid): (576, 1 or R) triangle planes, the
+    group's canonical rel id ((1, 1) tile-uniform or (1, R) per-lane),
+    the per-lane test mask, and the compact attr column — both the
+    per-lane/stage_mt path and the tile-wavefront path feed it."""
     best_t = jnp.full((1, r), INF)
     best_tri = jnp.full((1, r), MAXI, jnp.int32)
     best_u = jnp.zeros((1, r), jnp.float32)
@@ -857,6 +943,182 @@ def _traverse_stages(depth, ksel, kp, interp, fuse, shared, smt, rays,
         )
         return jnp.concatenate([hit_rows, attrs], axis=0)
     return hit_rows
+
+
+def _srow(x, i):
+    """Extract row i of a small (C, L) int/f32 array as (1, L) with a
+    masked sum instead of a slice: slices carry their sublane offset in
+    the Mosaic layout and tpu.concatenate refuses to stitch
+    differently-offset pieces ('result/input offset mismatch on
+    non-concat dimension'); a reduction lands at offset 0. Exact: one
+    mask row is 1, the rest contribute 0."""
+    return jnp.sum(
+        jnp.where(_iota(x.shape, 0) == i, x, 0), axis=0, keepdims=True
+    )
+
+
+def _scol(x, s):
+    """Column s of a small (P, U) int array as (P, 1), by masked sum —
+    same Mosaic lane-offset canonicalization as _srow."""
+    return jnp.sum(
+        jnp.where(_iota(x.shape, 1) == s, x, 0), axis=1, keepdims=True
+    )
+
+
+def _traverse_stages_tw(depth, u_node, u_leaf, interp, fuse, rays,
+                        root_ref, node_refs, leaf_ref, gmap_ref, attr_ref):
+    """Tile-wavefront traversal body (see the TW comment): the tree is
+    descended ONCE per ray tile. Per level: slab every staged candidate
+    for every lane (per-lane exact entry distances — the certificate's
+    raw material), rank candidates by the tile-global lane-min entry key
+    at width 1 (_extract on (C, 1) — the pop chain the per-lane path runs
+    at (C, R) width), stage the top-u_node survivors' node columns with
+    one (U, G) one-hot matmul, expand their children. The leaf level
+    stages the top-u_leaf groups the same way and feeds the shared
+    _mt_tail — every lane tests every staged slot.
+
+    Certificate: a candidate ranked out at any level contributes its
+    per-lane EXACT f32 entry distance to `dropped` (INF on lanes that
+    miss it, so only lanes it could actually affect become suspects);
+    staged groups are fully tested for every lane. Children of a staged
+    node need no validity cascade: child boxes are contained in their
+    parent (bvh.c union build), so a lane missing the parent slabs the
+    child to INF on its own, and t_max-pruned parents bound their
+    children's entries the same way."""
+    r = rays.shape[1]
+    o = Vec3(rays[0:1, :], rays[1:2, :], rays[2:3, :])
+    d = Vec3(rays[3:4, :], rays[4:5, :], rays[5:6, :])
+    act = rays[6:7, :] > 0.0
+    tmax = rays[7:8, :]
+    inv = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)
+
+    root_rows = root_ref[:, 0:1].astype(jnp.float32)
+    cand_d = jnp.where(act, _slab48(root_rows, o, inv, tmax), INF)  # (8, R)
+    cand_id = _iota((W, 1), 0)  # (8, 1) tile-uniform metadata
+    cand_cid = root_rows[48:56].astype(jnp.int32)  # (8, 1)
+
+    dropped = jnp.full((1, r), INF)
+
+    for li in range(depth - 1):
+        if li == 0:
+            # all 8 root children expand; static column reads (level-1
+            # compaction is the identity) — same as the per-lane path but
+            # with (C, 1) tile-uniform ids
+            last = depth == 2
+            valid = jnp.isfinite(cand_d)
+            l1_cid = node_refs[0][48:56].astype(jnp.int32)  # (8, G1)
+            new_d, new_id, new_cid = [], [], []
+            for k in range(W):
+                rows = node_refs[0][:, k : k + 1]
+                d8 = _slab48(rows, o, inv, tmax)
+                new_d.append(jnp.where(valid[k : k + 1], d8, INF))
+                new_id.append(_iota((W, 1), 0) + k * W)
+                if last:
+                    new_cid.append(jnp.full((W, 1), k, jnp.int32))
+                else:
+                    # _scol: masked-sum column extract — a plain column
+                    # slice carries its lane offset into the concat below,
+                    # which Mosaic's tpu.concatenate rejects
+                    new_cid.append(_scol(l1_cid, k))
+            cand_d = jnp.concatenate(new_d, axis=0)  # (64, R)
+            cand_id = jnp.concatenate(new_id, axis=0)  # (64, 1)
+            cand_cid = jnp.concatenate(new_cid, axis=0)
+            continue
+
+        # --- tile-global node selection --------------------------------
+        c = cand_d.shape[0]
+        u = min(u_node, c)
+        tile_d = jnp.min(jnp.where(act, cand_d, INF), axis=1,
+                         keepdims=True)  # (C, 1)
+        keys = _pack(tile_d, _iota((c, 1), 0))
+        sel, rem, (s_cid, s_rel) = _extract(
+            keys, u, payload=(cand_cid, cand_id)
+        )
+        # ranked-out candidates: per-lane exact entry -> certificate
+        dropped = jnp.minimum(
+            dropped,
+            jnp.min(
+                jnp.where(rem != MAXI, cand_d, INF),
+                axis=0, keepdims=True,
+            ),
+        )
+        slot_live = sel < BIG_BITS  # (u, 1)
+        g = node_refs[li].shape[1]
+        oh_ug = (_iota((u, g), 1) == s_cid) & slot_live
+        nbuf = _fetch_i8_cols(node_refs[li], oh_ug, interp)  # (NROWS, u)
+
+        last = li == depth - 2
+        child_cid = nbuf[48:56].astype(jnp.int32)  # (8, u)
+        new_d, new_id, new_cid = [], [], []
+        for s in range(u):
+            rows = nbuf[:, s : s + 1]  # (NROWS, 1)
+            d8 = _slab48(rows, o, inv, tmax)  # (8, R)
+            new_d.append(
+                jnp.where(_srow(slot_live.astype(jnp.int32), s) > 0,
+                          d8, INF)
+            )
+            new_id.append(_srow(s_rel, s) * W + _iota((W, 1), 0))
+            if last:
+                new_cid.append(
+                    jnp.broadcast_to(_srow(s_cid, s), (W, 1))
+                )
+            else:
+                new_cid.append(_scol(child_cid, s))
+        cand_d = jnp.concatenate(new_d, axis=0)  # (8u, R)
+        cand_id = jnp.concatenate(new_id, axis=0)
+        cand_cid = jnp.concatenate(new_cid, axis=0)
+
+    # --- leaf phase: tile-global group selection + union staging -------
+    n_par = cand_d.shape[0] // W
+    gmin_d = jnp.concatenate(
+        [
+            jnp.min(cand_d[p * W : (p + 1) * W], axis=0, keepdims=True)
+            for p in range(n_par)
+        ],
+        axis=0,
+    )  # (n_par, R) exact min entry distance per parent group, per lane
+    pgrel = jnp.concatenate(
+        [_srow(cand_id, p * W) >> 3 for p in range(n_par)], axis=0
+    )
+    pgcid = jnp.concatenate(
+        [_srow(cand_cid, p * W) for p in range(n_par)], axis=0
+    )
+    ul = min(u_leaf, n_par)
+    tile_g = jnp.min(jnp.where(act, gmin_d, INF), axis=1, keepdims=True)
+    gkeys = _pack(tile_g, _iota((n_par, 1), 0))
+    sel, rem, (s_gcid, s_grel) = _extract(
+        gkeys, ul, payload=(pgcid, pgrel)
+    )
+    dropped = jnp.minimum(
+        dropped,
+        jnp.min(
+            jnp.where(rem != MAXI, gmin_d, INF), axis=0, keepdims=True
+        ),
+    )
+    slot_live = sel < BIG_BITS  # (ul, 1)
+    g = leaf_ref.shape[1]
+    oh_ug = (_iota((ul, g), 1) == s_gcid) & slot_live
+    leaf_f = _fetch_i8_cols(leaf_ref, oh_ug, interp)  # (576, ul) f32
+    shared_ctx = None
+    if fuse:
+        attr_buf = _dot_i8_nt(attr_ref, oh_ug, interp).astype(jnp.int8)
+        # dead slots carry garbage ids from the exhausted-pop payload
+        # sum, but their buffer columns are all-zero (oh_ug row masked):
+        # a multi-hot match in the win refetch adds zeros — exact
+        shared_ctx = (s_gcid, attr_buf)
+
+    groups = [
+        (
+            leaf_f[:, s : s + 1],
+            _srow(s_grel, s),
+            (_srow(slot_live.astype(jnp.int32), s) > 0) & act,
+            _srow(s_gcid, s),
+        )
+        for s in range(ul)
+    ]
+    dropped = jnp.where(act, dropped, INF)
+    return _mt_tail(depth, interp, fuse, o, d, r, groups, dropped,
+                    shared_ctx, gmap_ref, attr_ref)
 
 
 def _round_up(n, m=128):
@@ -1127,7 +1389,7 @@ def intersect_bvh_pallas(
     ksel: int = 8, t_max=None, tables: PallasTables | None = None,
     interpret: bool | None = None, tile: int | None = None,
     fuse_attr: bool = False, shared: bool | None = None,
-    stage_mt: bool | None = None,
+    stage_mt: bool | None = None, tile_wavefront: bool | None = None,
 ):
     """Single-pass fused traversal (Pallas). Returns dict(t, tri, u, v,
     dropped_min) with the same semantics/certificate as
@@ -1139,6 +1401,13 @@ def intersect_bvh_pallas(
     DIFFER from the per-lane path only on lanes the certificate flags
     (strictly larger per-lane coverage) — the verified wrapper's output
     stays oracle-bit-exact either way.
+
+    tile_wavefront: tile-global selection + union staging (None ->
+    module default TW, env RAYTPU_TIER0_TW; see the TW comment). For
+    COHERENT batches (bounce-0 camera rays). Requires int8x4 split
+    tables and depth >= 2; silently falls back otherwise. Same
+    certificate contract as stage_mt: per-lane hits may differ only on
+    certificate-flagged lanes, verified output stays oracle-exact.
 
     tables: precomputed compacted PallasTables (Scene.ptables); falls back
     to an uncompacted traced build when absent.
@@ -1163,6 +1432,22 @@ def intersect_bvh_pallas(
     depth = tables.depth
     fuse = bool(fuse_attr) and tables.attr is not None
 
+    if tile_wavefront is None:
+        tile_wavefront = TW
+    tw = (
+        bool(tile_wavefront)
+        and depth >= 2
+        and tables.leaf.dtype == jnp.int8
+        and all(lv.dtype == jnp.int8 for lv in tables.levels[1:])
+        and (not fuse or tables.attr is not None)
+    )
+    if tw:
+        # the TW working set (concatenated per-slot slab planes + the
+        # staged-union MT chains) overflows the 16 MB scoped-VMEM limit
+        # at tile=1024 (measured 20 MB); 512-lane tiles fit and the
+        # tile-global selection still amortizes over 512 lanes
+        tile = min(tile, 512)
+
     r_pad = ((r + tile - 1) // tile) * tile
     if active is None:
         act = jnp.ones((r,), jnp.float32)
@@ -1182,7 +1467,7 @@ def intersect_bvh_pallas(
         shared = SHARED
     if stage_mt is None:
         stage_mt = STAGE_MT
-    smt = bool(stage_mt) and tables.gmap is not None
+    smt = bool(stage_mt) and tables.gmap is not None and not tw
     tbls = [tables.root, *tables.levels, tables.leaf]
     if fuse or smt:
         tbls += [tables.gmap]
@@ -1195,7 +1480,7 @@ def intersect_bvh_pallas(
     out = pl.pallas_call(
         functools.partial(
             _traverse_kernel, depth, ksel, kp, interpret, fuse, shared,
-            smt,
+            smt, tw,
         ),
         grid=(r_pad // tile,),
         in_specs=[
@@ -1228,6 +1513,7 @@ def intersect_bvh_pallas_forest(
     kp: int = 2, ksel: int = 8, t_max=None, interpret: bool | None = None,
     tile: int | None = None, fuse_attr: bool = False,
     shared: bool | None = None, stage_mt: bool | None = None,
+    tile_wavefront: bool | None = None,
 ):
     """Run the fused kernel once per subtree, threading the running best
     hit in as each call's per-ray t_max bound. fuse_attr: each subtree
@@ -1256,6 +1542,7 @@ def intersect_bvh_pallas_forest(
             origin, direction, None, None, active, kp=kp, ksel=ksel,
             t_max=bound, tables=st, interpret=interpret, tile=tile,
             fuse_attr=fuse_attr, shared=shared, stage_mt=stage_mt,
+            tile_wavefront=tile_wavefront,
         )
         hit["tri"] = jnp.where(hit["tri"] >= 0, hit["tri"] + base, -1)
         if best is None:

@@ -153,7 +153,8 @@ RR_START = 3
 
 def bounce_step(scene, st, rand4, method: str = "topk",
                 texture_mode: str = "bilinear", rr: bool = False,
-                bounce_i=None, nee: bool = False, rand2=None):
+                bounce_i=None, nee: bool = False, rand2=None,
+                tw: bool = False):
     """ONE wavefront bounce over a state dict of per-ray planes.
 
     st: dict(origin, direction, throughput, radiance: Vec3; active: bool;
@@ -168,6 +169,12 @@ def bounce_step(scene, st, rand4, method: str = "topk",
     estimator. Uses rand4[3] (the spare channel). bounce_i: traced bounce
     index (required when rr=True).
 
+    tw: route the PRIMARY intersect through the tile-wavefront tier-0
+    (pallas methods only; see traverse_pallas.TW) — for statically-known
+    coherent bounces (the peeled bounce 0 in trace/trace_bucketed).
+    Shadow rays always stay per-lane: NEE directions are not
+    tile-coherent.
+
     nee (BEYOND-PARITY, default off): next-event estimation of the
     environment light with power-heuristic MIS. Each shaded vertex draws
     one uniform-sphere light sample (rand2), casts a shadow ray, and adds
@@ -181,7 +188,8 @@ def bounce_step(scene, st, rand4, method: str = "topk",
     o, d = st["origin"], st["direction"]
     r = o.shape[0]
 
-    hit = traverse.intersect_scene(scene, o, d, active, method=method)
+    hit = traverse.intersect_scene(scene, o, d, active, method=method,
+                                   tw=tw)
     rays = st["rays"] + jnp.sum(active).astype(jnp.float32)
 
     is_hit = active & jnp.isfinite(hit["t"])
@@ -316,11 +324,20 @@ def trace(scene, origin: Vec3, direction: Vec3, uniforms, max_bounces: int,
         "prev_pdf": jnp.full((r,), jnp.inf),
     }
 
-    def bounce(i, st):
+    def bounce(i, st, tw=False):
         return bounce_step(scene, st, uniforms[i], method, texture_mode,
                            rr=rr, bounce_i=i, nee=nee,
                            rand2=None if nee_uniforms is None
-                           else nee_uniforms[i])
+                           else nee_uniforms[i], tw=tw)
+
+    # bounce-0 peel (see TW_BOUNCE0): the first bounce is statically
+    # known camera-coherent and all-active, so it runs OUTSIDE the
+    # while_loop with the tile-wavefront tier-0; RNG keys on the bounce
+    # index, so peeling is semantics-identical to iteration 0
+    i0 = jnp.int32(0)
+    if TW_BOUNCE0 and method.startswith("pallas") and max_bounces >= 1:
+        state = bounce(0, state, tw=True)
+        i0 = jnp.int32(1)
 
     # while-loop over bounces: a batch whose rays have ALL terminated (e.g.
     # a sky-only tile, or every path absorbed) stops early instead of
@@ -334,7 +351,7 @@ def trace(scene, origin: Vec3, direction: Vec3, uniforms, max_bounces: int,
         i, st = iv
         return i + 1, bounce(i, st)
 
-    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    _, st = jax.lax.while_loop(cond, body, (i0, state))
     return st["radiance"], st["rays"]
 
 
@@ -363,6 +380,17 @@ _LADDER_516 = os.environ.get("RAYTPU_LADDER516", "1") == "1"
 #: direction octant, clustering lanes by direction for fetch coherence.
 #: A/B'd on chip — see docs/PERF.md for the measured verdict.
 SORT_OCTANT = False
+
+#: bounce-0 peel: run the first bounce outside the bounce while_loop so
+#: its PRIMARY intersect can statically select the tile-wavefront
+#: tier-0 (traverse_pallas.TW — camera rays are tile-coherent by
+#: construction; ~75% of all traced rays are bounce 0 per the occupancy
+#: census). Peeling is semantics-identical: bounce 0 always runs the
+#: full-width branch with no preceding sort, and the RNG keys on
+#: (slot, bounce index). Within-conditioning hit differences only (the
+#: TW MT runs on staged (576, 1) planes — same f32 math, different
+#: scheduling); suspects repair through the unchanged verified tiers.
+TW_BOUNCE0 = os.environ.get("RAYTPU_TW_BOUNCE0", "0") == "1"
 
 
 def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
@@ -451,7 +479,7 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
             new[name] = Vec3(next(it), next(it), next(it))
         return new
 
-    def make_branch(w, i_ref):
+    def make_branch(w, i_ref, tw=False):
         def br(args):
             i, st = args
             head = {
@@ -487,7 +515,7 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
             out = bounce_step(
                 scene, head, u6[: min(nu, 4)], method, texture_mode,
                 rr=rr, bounce_i=i, nee=nee,
-                rand2=u6[4:nu] if nee else None,
+                rand2=u6[4:nu] if nee else None, tw=tw,
             )
             new = dict(st)
             for name in ("origin", "direction", "throughput", "radiance"):
@@ -512,6 +540,17 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
 
     branches = [make_branch(w, None) for w in widths]
 
+    # bounce-0 peel (TW_BOUNCE0): iteration 0 always takes the full-width
+    # branch with no sort (all lanes live), so running it statically
+    # outside the loop with the tile-wavefront tier-0 is exact — the RNG
+    # keys on (slot, bounce), invariant to where the bounce executes
+    i0 = jnp.int32(0)
+    if TW_BOUNCE0 and method.startswith("pallas") and max_bounces >= 1:
+        state = make_branch(widths[0], None, tw=True)(
+            (jnp.int32(0), state)
+        )
+        i0 = jnp.int32(1)
+
     def cond(iv):
         i, k_prev, st = iv
         return jnp.logical_and(i < max_bounces, jnp.any(st["active"]))
@@ -532,7 +571,7 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
         st = jax.lax.switch(k, branches, (i, st))
         return i + 1, k, st
 
-    _, _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0),
+    _, _, st = jax.lax.while_loop(cond, body, (i0, jnp.int32(0),
                                                state))
 
     # undo the accumulated permutation

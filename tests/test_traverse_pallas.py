@@ -594,3 +594,147 @@ def test_stage_mt_attrs_selfconsistent(rng):
         np.testing.assert_array_equal(
             np.asarray(got[k])[hit], np.asarray(ref[k])[hit], err_msg=k
         )
+
+
+def test_tw_certificate_sound(rng):
+    """Tile-wavefront tier-0 (traverse_pallas.TW): random rays make the
+    tile-global selection truncate constantly (each 'tile' is 768
+    incoherent rays voting on 8 shared slots) — every lane whose hit
+    deviates from the oracle beyond the f32 conditioning class must
+    carry the certificate."""
+    mesh = random_mesh(9000, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(768, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    brute = intersect.intersect_bruteforce(o, d, scene.triangles)
+    pal = tp.intersect_bvh_pallas(
+        o, d, scene.triangles, scene.bvh, kp=4, tables=scene.ptables,
+        tile_wavefront=True, fuse_attr=True,
+    )
+    got, want = _finite(np.asarray(pal["t"])), _finite(np.asarray(brute["t"]))
+    tight = np.isclose(got, want, **TIGHT)
+    loose = np.isclose(got, want, **LOOSE)
+    suspect = np.asarray(pal["dropped_min"]) < np.asarray(pal["t"])
+    assert suspect.any()  # the incoherence stress actually engaged
+    assert not (~tight & ~suspect & ~loose).any(), "uncertified divergence"
+
+
+def test_tw_verified_oracle_exact(rng, monkeypatch):
+    """The verified wrapper with the tile-wavefront tier-0 must land on
+    the brute-force oracle (up to conditioning) — the per-lane wide
+    repair tiers absorb every tile-vote truncation."""
+    monkeypatch.setattr(tp, "TW", True)
+    mesh = random_mesh(9000, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    brute = intersect.intersect_bruteforce(o, d, scene.triangles)
+    ver = traverse.intersect_bvh_pallas_verified(
+        o, d, scene.triangles, scene.bvh, tables=scene.ptables,
+        fuse_attr=True,
+    )
+    _assert_exact_up_to_conditioning(ver["t"], brute["t"])
+
+
+def test_tw_truncation_stress_verified(rng, monkeypatch):
+    """Node and leaf slot budgets crushed (TW_U=4, TW_UL=2): the
+    tile-global selection drops most of the tree at every level, the
+    certificate must flag the victims, and the verified wrapper must
+    still land on the oracle."""
+    monkeypatch.setattr(tp, "TW", True)
+    monkeypatch.setattr(tp, "TW_U", 4)
+    monkeypatch.setattr(tp, "TW_UL", 2)
+    mesh = random_mesh(5000, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    brute = intersect.intersect_bruteforce(o, d, scene.triangles)
+    pal = tp.intersect_bvh_pallas(
+        o, d, scene.triangles, scene.bvh, kp=4, tables=scene.ptables,
+        tile_wavefront=True,
+    )
+    suspect = np.asarray(pal["dropped_min"]) < np.asarray(pal["t"])
+    assert suspect.any()
+    ver = traverse.intersect_bvh_pallas_verified(
+        o, d, scene.triangles, scene.bvh, tables=scene.ptables,
+    )
+    _assert_exact_up_to_conditioning(ver["t"], brute["t"])
+
+
+def test_tw_extra_coverage_certified_or_oracle(rng):
+    """The tile union a lane tests under TW differs from its private
+    per-lane kp selection, so TW's tier-0 may legitimately find hits the
+    per-lane pass missed — every such extra hit must be a genuine oracle
+    hit (conditioning-tight t) or the lane must be certified."""
+    mesh = random_mesh(3000, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    brute = intersect.intersect_bruteforce(o, d, scene.triangles)
+    a = tp.intersect_bvh_pallas(
+        o, d, scene.triangles, scene.bvh, kp=4, tables=scene.ptables,
+    )
+    b = tp.intersect_bvh_pallas(
+        o, d, scene.triangles, scene.bvh, kp=4, tables=scene.ptables,
+        tile_wavefront=True,
+    )
+    improved = np.asarray(b["t"]) < np.asarray(a["t"])
+    if improved.any():
+        got = _finite(np.asarray(b["t"]))[improved]
+        want = _finite(np.asarray(brute["t"]))[improved]
+        sus = (np.asarray(b["dropped_min"]) < np.asarray(b["t"]))[improved]
+        ok = np.isclose(got, want, **TIGHT) | np.isclose(got, want, **LOOSE)
+        assert (ok | sus).all()
+
+
+def test_tw_attrs_selfconsistent(rng):
+    """Fused tile-wavefront attrs must equal a standalone fetch_attrs of
+    the SAME winners bit-for-bit — pins the (U, G) one-hot column
+    staging (_fetch_i8_cols exact transport) and the winner-slot attr
+    refetch through the staged buffer."""
+    mesh = random_mesh(9000, rng)
+    scene = simple_scene(mesh)
+    origin, direction = random_rays(768, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    b = tp.intersect_bvh_pallas(
+        o, d, scene.triangles, scene.bvh, kp=4, tables=scene.ptables,
+        tile_wavefront=True, fuse_attr=True,
+    )
+    hit = np.asarray(b["tri"]) >= 0
+    assert hit.any()
+    ref = tp.fetch_attrs(scene.ptables, b["tri"], b["u"], b["v"])
+    got = tp.attrs_to_dict(b["attrs"])
+    for k in ("normal", "ng", "tangent", "bitangent"):
+        for c in "xyz":
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got[k], c))[hit],
+                np.asarray(getattr(ref[k], c))[hit],
+                err_msg=f"{k}.{c}",
+            )
+    for k in ("uv_u", "uv_v", "mat_id"):
+        np.testing.assert_array_equal(
+            np.asarray(got[k])[hit], np.asarray(ref[k])[hit], err_msg=k
+        )
+
+
+def test_tw_small_mesh_depth2(rng):
+    """Depth-2 trees skip the staged-node levels entirely (static level-1
+    expansion straight into the tile-global leaf vote) — the verified
+    wrapper must still land on the oracle."""
+    mesh = random_mesh(400, rng)
+    scene = simple_scene(mesh)
+    assert scene.ptables.depth == 2
+    origin, direction = random_rays(512, rng)
+    o, d = vec3_of(origin), vec3_of(direction)
+
+    brute = intersect.intersect_bruteforce(o, d, scene.triangles)
+    ver = traverse.intersect_bvh_pallas_verified(
+        o, d, scene.triangles, scene.bvh, tables=scene.ptables,
+        tile_wavefront=True,
+    )
+    _assert_exact_up_to_conditioning(ver["t"], brute["t"])
