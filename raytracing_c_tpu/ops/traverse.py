@@ -576,7 +576,12 @@ def intersect_bvh_pallas_verified(
         suspect = suspect & active
 
     r = origin.shape[0]
-    s_cap = max_suspects or min(max(r // 32, 512), r)
+    # TW tier-0 carries a 2x suspect budget: tile-vote truncation on
+    # bounce rays runs ~2.5% suspects (tools/tw_bounce1.py) vs the
+    # per-lane path's ~0.5% — overflowing the cap fires the FULL-width
+    # wide pass (28 ms/256k measured), which the r/16 slice avoids
+    div = 16 if tile_wavefront else 32
+    s_cap = max_suspects or min(max(r // div, 512), r)
 
     def wide_exact(o, d, act):
         rw = o.shape[0]

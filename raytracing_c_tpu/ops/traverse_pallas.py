@@ -256,8 +256,12 @@ TW = os.environ.get("RAYTPU_TIER0_TW", "0") == "1"
 #: per-lane path keeps ksel=8 PER LANE, TW keeps TW_U per TILE)
 TW_U = int(os.environ.get("RAYTPU_TIER0_TW_U", "8"))
 
-#: staged leaf-group slots: every lane pays TW_UL*64 MT tests
-TW_UL = int(os.environ.get("RAYTPU_TIER0_TW_UL", "8"))
+#: staged leaf-group slots: every lane pays TW_UL*64 MT tests, so UL
+#: trades shared-MT cost against tile-vote truncation suspects. 6 per
+#: the on-chip sweep (docs/PERF.md r5 wave 2): verified 10.82 ms/256k
+#: vs 11.18 at UL=8; UL=5 is flat on the full bench but carries 0.84%
+#: suspects vs 0.065% — the suspect-safe point wins (r4 ksel=6 lesson)
+TW_UL = int(os.environ.get("RAYTPU_TIER0_TW_UL", "6"))
 
 
 def _stage_union(tables, gcids, valid_rows, interp, u=None):

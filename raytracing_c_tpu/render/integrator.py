@@ -286,6 +286,13 @@ def bounce_step(scene, st, rand4, method: str = "topk",
         "active": (cont | backface),
         "rays": rays,
     }
+    if "grp" in st:
+        # winner leaf group of THIS bounce's hit — the next compaction's
+        # coherence-sort key (TW_DEEP). Sphere winners/misses take the
+        # sentinel; live lanes always hit (cont = shaded & ~terminate)
+        res["grp"] = jnp.where(
+            hit["tri"] >= 0, hit["tri"] >> 6, _GRP_MISS
+        ).astype(jnp.int32)
     if "prev_pdf" in st:
         if nee:
             # backface re-casts continue the SAME segment: keep its pdf
@@ -390,7 +397,26 @@ SORT_OCTANT = False
 #: (slot, bounce index). Within-conditioning hit differences only (the
 #: TW MT runs on staged (576, 1) planes — same f32 math, different
 #: scheduling); suspects repair through the unchanged verified tiers.
-TW_BOUNCE0 = os.environ.get("RAYTPU_TW_BOUNCE0", "0") == "1"
+#: Default ON per the full-bench A/B (docs/PERF.md r5 wave 2: helmet
+#: 9.88 -> 10.57 device Mrays/s, tower within noise, CPU goldens
+#: unchanged with the peel on).
+TW_BOUNCE0 = os.environ.get("RAYTPU_TW_BOUNCE0", "1") == "1"
+
+#: extend tile-wavefront traversal to DEEP bounces via compaction-time
+#: coherence sorting (VERDICT r4 #4): live lanes sort by (bounce-(i-1)
+#: winner leaf group, direction octant) — the RNG is schedule-invariant,
+#: so any compaction order is image-identical for free — and the WIDE
+#: ladder branches (>= 5r/16, where bounce 1 lands) run the TW kernel.
+#: tools/tw_bounce1.py (helmet bounce-1, 259k live): suspects per-lane
+#: 0.82% / TW grp+oct 2.53%, verified 11.50 -> 8.66 ms (-25%); the
+#: activity-only order measures 4.76% suspects and trips the repair
+#: cap, which is why TW bounces carry an r/16 cap (traverse.py) and
+#: narrow branches stay per-lane.
+TW_DEEP = os.environ.get("RAYTPU_TW_DEEP", "0") == "1"
+
+#: winner-group sentinel for miss/inactive lanes (> any real leaf group
+#: id: the Pallas gate admits <= 32k-triangle scenes -> grp <= 511)
+_GRP_MISS = 8191
 
 
 def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
@@ -454,10 +480,22 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
         "rays": jnp.float32(0.0),
         "prev_pdf": jnp.full((r,), jnp.inf),
     }
+    if TW_DEEP:
+        state["grp"] = jnp.full((r,), _GRP_MISS, jnp.int32)
 
     def compact(st):
         key = (~st["active"]).astype(jnp.int32)  # live lanes first
-        if SORT_OCTANT:
+        if TW_DEEP:
+            # secondary (grp, octant) coherence key for the TW tile vote
+            # (see TW_DEEP); any order of live lanes is image-identical
+            d_ = st["direction"]
+            octant = (
+                (d_.x < 0).astype(jnp.int32) * 4
+                + (d_.y < 0).astype(jnp.int32) * 2
+                + (d_.z < 0).astype(jnp.int32)
+            )
+            key = key * (1 << 20) + st["grp"] * 8 + octant
+        elif SORT_OCTANT:
             d_ = st["direction"]
             octant = (
                 (d_.x < 0).astype(jnp.int32) * 4
@@ -466,12 +504,19 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
             )
             key = key * 8 + octant  # active decodes as key < 8 below
         planes = [getattr(st[name], c) for name, c in _SORT_PLANES]
+        extra = (st["grp"],) if TW_DEEP else ()
         out = jax.lax.sort(
-            (key, st["slot"], st["prev_pdf"], *planes), num_keys=1
+            (key, st["slot"], st["prev_pdf"], *extra, *planes), num_keys=1
         )
-        key_s, slot_s, pp_s, *planes_s = out
+        key_s, slot_s, pp_s, *rest = out
         new = dict(st)
-        new["active"] = key_s < 8 if SORT_OCTANT else key_s == 0
+        if TW_DEEP:
+            new["active"] = key_s < (1 << 20)
+            new["grp"] = rest[0]
+            planes_s = rest[1:]
+        else:
+            new["active"] = key_s < 8 if SORT_OCTANT else key_s == 0
+            planes_s = rest
         new["slot"] = slot_s
         new["prev_pdf"] = pp_s
         it = iter(planes_s)
@@ -497,6 +542,8 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
                 "rays": st["rays"],
                 "prev_pdf": st["prev_pdf"][:w],
             }
+            if TW_DEEP:
+                head["grp"] = st["grp"][:w]
             # nee: 4 material + 2 light-sample + 1 env-CDF jitter. rr
             # additionally reads channel 3; plain tracing consumes only
             # the 3 BRDF channels. threefry counter semantics make
@@ -534,11 +581,24 @@ def trace_bucketed(scene, origin: Vec3, direction: Vec3, key,
             new["prev_pdf"] = jnp.concatenate(
                 [out["prev_pdf"], st["prev_pdf"][w:]]
             )
+            if TW_DEEP:
+                new["grp"] = jnp.concatenate([out["grp"], st["grp"][w:]])
             return new
 
         return br
 
-    branches = [make_branch(w, None) for w in widths]
+    # TW_DEEP: wide branches (>= 5r/16 — where bounce 1 lands after the
+    # shrink-sort) run the tile-wavefront kernel on their
+    # coherence-sorted lanes; narrow (deep-bounce) branches stay
+    # per-lane (tools/tw_bounce1.py: unsorted/incoherent distributions
+    # cost more in repair than TW saves)
+    branches = [
+        make_branch(
+            w, None,
+            tw=TW_DEEP and method.startswith("pallas") and 16 * w >= 5 * r,
+        )
+        for w in widths
+    ]
 
     # bounce-0 peel (TW_BOUNCE0): iteration 0 always takes the full-width
     # branch with no sort (all lanes live), so running it statically

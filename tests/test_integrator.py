@@ -7,7 +7,8 @@ import jax.numpy as jnp
 from raytracing_c_tpu.models.scene import SHADER_DEBUG_NORMAL
 from raytracing_c_tpu.render import integrator
 
-from helpers import quad_mesh, simple_scene, vec3_of
+from helpers import quad_mesh, random_mesh, random_rays, simple_scene, \
+    vec3_of
 
 BG = (0.25, 0.5, 0.75)
 
@@ -204,3 +205,27 @@ def test_nee_env_unbiased():
         nee.mean(axis=0), plain.mean(axis=0), rtol=0.03)
     # NEE pays one shadow ray per shaded vertex
     assert run(True, 0)[1] > run(False, 0)[1]
+
+
+def test_bucketed_tw_deep_identical(monkeypatch):
+    """TW_DEEP (coherence-sorted compaction + tile-wavefront wide
+    branches) must be image-IDENTICAL to the default bucketed path: the
+    slot-keyed RNG is permutation-invariant, so the (grp, octant) sort
+    key only reorders lanes, and every TW hit difference is repaired or
+    within conditioning (bit-equal here on XLA:CPU — the golden
+    contract's scheduling)."""
+    mesh = random_mesh(900, rng_ := np.random.default_rng(3))
+    scene = simple_scene(mesh, bg=(0.7, 0.8, 1.0))
+    n = 4096
+    o_, d_ = random_rays(n, rng_)
+    base, rays0 = integrator.trace_bucketed(
+        scene, vec3_of(o_), vec3_of(d_), jax.random.PRNGKey(5), 5,
+        method="pallas_fused")
+    monkeypatch.setattr(integrator, "TW_DEEP", True)
+    deep, rays1 = integrator.trace_bucketed(
+        scene, vec3_of(o_), vec3_of(d_), jax.random.PRNGKey(5), 5,
+        method="pallas_fused")
+    np.testing.assert_array_equal(
+        np.asarray(base.to_array()), np.asarray(deep.to_array())
+    )
+    assert float(rays0) == float(rays1)
