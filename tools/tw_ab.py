@@ -3,9 +3,12 @@ the stage_mt marginals named). Production 32x32-tile pixel order, central
 helmet tiles, 16k px x 16 spp = 256k rays; per-lane kp=4 baseline vs TW
 at UL in {4, 6, 8}, tier-0 fused + verified + suspect rates.
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/tw_ab.py
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/tw_ab.py [model]
+(model defaults to helmet.glb; pass /root/reference/models/tower.obj for
+the secondary-scene check — docs/PERF.md r5 wave 2 ran both)
 """
 
+import sys
 import time
 
 import jax
@@ -29,10 +32,9 @@ NPX = 16 * 1024
 R = NPX * SPP
 
 print("backend:", jax.default_backend(), flush=True)
-scene = load_scene(
-    "/root/reference/models/helmet.glb", background_path=None,
-    warn=lambda *a: None,
-)
+MODEL = sys.argv[1] if len(sys.argv) > 1 else \
+    "/root/reference/models/helmet.glb"
+scene = load_scene(MODEL, background_path=None, warn=lambda *a: None)
 tris, bvh, PT = scene.triangles, scene.bvh, scene.ptables
 
 xs_all, ys_all, _ = _pixel_tables(1920, 1080, pad=1)
