@@ -26,3 +26,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Full-suite runs accumulate hundreds of live compiled executables;
+    at tests/test_traverse_pallas.py the XLA:CPU compiler then segfaults
+    DETERMINISTICALLY while compiling the tiered-repair program (3/3
+    whole-suite runs died at the same test in backend_compile_and_load;
+    the same test passes standalone and per-file, and a 64 MB main-thread
+    stack does not help — the crash is inside XLA's own compile). Dropping
+    the in-process executable caches at module boundaries keeps the
+    compiler's working set bounded. Costs recompiles (~+20% suite time);
+    removes the crash."""
+    jax.clear_caches()
+    yield
